@@ -1,0 +1,222 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md §B; seed=42, no external data).
+
+Generates the ``pages`` table in the exact contract shape
+(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING —
+BASELINE.json input_hint), where ``text`` is produced by the pinned oracle
+extractor at generation time, closing the byte-identity loop.
+
+Page variety per FIXTURES.md B.1: link tags a/img/frame/area/link, <base href>
+subset, index URLs ending '/', canonicalization traps (uppercase host, :80,
+dot-segments, fragments, percent-encoding), ignore targets (/private/, .zip),
+oversize pages, non-HTML payloads (PDF/JPEG/plain-text magic), link-heavy
+anchor-text pages, script/style/head content + entities + \r\n runs, external
+out-of-scope links. Host skew: domain 0 holds >=60%% of pages (Zipf-ish).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timezone
+
+from ..oracle.extract import extract_text
+from ..oracle.urlnorm import canonicalize
+
+SEED = 42
+
+_PARAGRAPH_WORDS = (
+    "crawl frontier spark arrow shuffle partition bloom filter wave snapshot "
+    "politeness domain priority queue link anchor robots parquet schema batch "
+    "vector column codegen skew salt broadcast checkpoint resume lineage metric"
+).split()
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_PARAGRAPH_WORDS) for _ in range(n))
+
+
+def _page_url(domain: str, i: int, rng: random.Random) -> str:
+    """Raw (pre-canonicalization) URL for page i; a slice of pages carries
+    canonicalization traps that must collapse to the same url_canon."""
+    base = f"http://{domain}"
+    if i == 0:
+        return base + "/"
+    path = f"/p/{i}.html"
+    if i % 17 == 3:
+        path = f"/d{i % 5}/"  # index page (isindex, T4)
+    elif i % 23 == 7:
+        path = f"/docs/x/../p/{i}.html"  # dot-segment trap
+    elif i % 23 == 11:
+        path = f"/p/%7E{i}.html"  # percent-encoding trap (~ is unreserved)
+    trap = i % 13
+    if trap == 1:
+        return f"HTTP://{domain.upper()}{path}"
+    if trap == 2:
+        return f"http://{domain}:80{path}"
+    if trap == 3:
+        return base + path + f"#frag{i}"
+    return base + path
+
+
+def _html_page(rng, url_c, domain, i, n_pages, domains, oversize=False,
+               linkheavy=False):
+    links = []
+    deg = rng.randint(2, 12) if not linkheavy else rng.randint(20, 40)
+    parts = [
+        "<html><head><title>t%d</title><script>var x=1;</script>"
+        "<style>.a{color:red}</style></head><body>" % i
+    ]
+    if i % 29 == 5:
+        parts.append(f'<base href="http://{domain}/rebased/">')
+    for k in range(deg):
+        r = rng.random()
+        if r < 0.15 and len(domains) > 1:  # cross-domain link
+            tgt_dom = domains[rng.randrange(len(domains))]
+        else:
+            tgt_dom = domain
+        tgt = rng.randrange(n_pages.get(tgt_dom, 1))
+        href = _page_url(tgt_dom, tgt, rng)
+        if tgt_dom == domain and rng.random() < 0.25:
+            # root-relative href — exercises urljoin resolution (C1/T1)
+            href = "/" + href.split("://", 1)[1].split("/", 1)[1]
+        tag = rng.random()
+        anchor_text = _words(rng, rng.randint(1, 4))
+        if tag < 0.6:
+            parts.append(f'<a href="{href}">{anchor_text}</a> ')
+        elif tag < 0.7:
+            parts.append(f'<img src="{href}">')
+        elif tag < 0.8:
+            parts.append(f'<link href="{href}">')
+        elif tag < 0.9:
+            parts.append(f'<area href="{href}">')
+        else:
+            parts.append(f'<frame src="{href}">')
+        links.append(href)
+    if rng.random() < 0.05:  # dangling link -> fetch_errors 'notfound'
+        parts.append(f'<a href="http://{domain}/missing/{i}.html">gone</a>')
+    if rng.random() < 0.2:  # external out-of-scope link (F2)
+        parts.append('<a href="http://external.example.net/x">ext&nbsp;link</a>')
+    if rng.random() < 0.3:  # ignore-pattern targets (F1)
+        parts.append(f'<a href="http://{domain}/private/s{i}.html">secret</a>')
+        parts.append(f'<a href="http://{domain}/a{i}.zip">zipfile</a>')
+    # entities, \r\n runs, multi-whitespace (T5)
+    parts.append(f"<p>body &amp; entit&eacute;s\r\n\r\n  {_words(rng, 30)} </p>")
+    if oversize:
+        parts.append("<p>" + ("pad " * 40000) + "</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+_PDF = b"%PDF-1.4 fake-minimal-pdf-payload\n%%EOF"
+_JPG = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+_TXT = b"plain text payload, not html at all\nline two\n"
+
+
+def generate_corpus(n_domains: int = 8, total_pages: int = 400,
+                    seed: int = SEED, maxsize: int = 64 * 1024):
+    """Returns (pages_rows, seeds, robots_map).
+
+    pages_rows: list of dicts (url, warc_ts, html, text, lang) — the contract
+    shape. Deterministic for a given (n_domains, total_pages, seed).
+    """
+    rng = random.Random(seed)
+    domains = [f"example{d}.com" for d in range(n_domains)]
+    # host skew: domain 0 gets 60% of pages, rest Zipf-ish
+    n_pages: dict[str, int] = {}
+    remaining = total_pages
+    n_pages[domains[0]] = max(int(total_pages * 0.6), 1)
+    remaining -= n_pages[domains[0]]
+    weights = [1.0 / (k + 1) for k in range(1, n_domains)]
+    wsum = sum(weights) or 1.0
+    for k, d in enumerate(domains[1:]):
+        n_pages[d] = max(int(remaining * weights[k] / wsum), 1)
+
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for d_i, dom in enumerate(domains):
+        for i in range(n_pages[dom]):
+            url = _page_url(dom, i, rng)
+            url_c = canonicalize(url)
+            kind = rng.random()
+            if i == 0:
+                kind = 1.0  # roots are always HTML hubs
+            if kind < 0.04:
+                html = _PDF
+            elif kind < 0.08:
+                html = _JPG
+            elif kind < 0.12:
+                html = _TXT
+            elif kind < 0.14:
+                html = _html_page(rng, url_c, dom, i, n_pages, domains,
+                                  oversize=True)
+            elif kind < 0.20:
+                html = _html_page(rng, url_c, dom, i, n_pages, domains,
+                                  linkheavy=True)
+            else:
+                html = _html_page(rng, url_c, dom, i, n_pages, domains)
+            text = extract_text(html, url_c) if html[:1] == b"<" else ""
+            rows.append(dict(
+                url=url,
+                warc_ts=ts0.replace(tzinfo=None),
+                html=html,
+                text=text,
+                lang="en",
+            ))
+        # robots.txt rows live in the pages table (FIXTURES.md B.3)
+        if d_i == 1:
+            robots = b"User-agent: *\nDisallow: /d1/\nCrawl-delay: 2\n"
+        elif d_i == 2:
+            robots = b"User-agent: *\nDisallow: /\n"
+        elif d_i == 3:
+            continue  # no robots.txt -> allow-all
+        else:
+            robots = b"User-agent: *\nDisallow: /private/\n"
+        rows.append(dict(
+            url=f"http://{dom}/robots.txt",
+            warc_ts=ts0.replace(tzinfo=None),
+            html=robots,
+            text="",
+            lang="en",
+        ))
+
+    seeds = [f"http://{domains[0]}/", f"http://{domains[0]}/p/1.html"]
+    if n_domains > 1:
+        seeds.append(f"http://{domains[1]}/")
+    if n_domains > 2:
+        seeds.append(f"http://{domains[2]}/")  # robots 'Disallow: /' domain
+    if n_domains > 3:
+        seeds.append(f"http://{domains[3]}/")
+    robots_map = {}
+    for r in rows:
+        if r["url"].endswith("/robots.txt"):
+            dom = r["url"].split("//", 1)[1].split("/", 1)[0]
+            robots_map[dom] = r["html"].decode("utf-8")
+    return rows, seeds, robots_map
+
+
+DEFAULT_IGNORE = (r"/private/", r"\.zip$")
+
+
+def pages_index(rows):
+    """url_canon -> (raw_url, html) dict for the oracle crawler; later rows
+    with the same url_canon win (pinned — mirrors last-write in the join)."""
+    idx = {}
+    for r in rows:
+        idx[canonicalize(r["url"])] = (r["url"], r["html"])
+    return idx
+
+
+def write_parquet(rows, path: str):
+    """Write pages rows to one parquet file via pyarrow (Spark-free, so the
+    pytest oracle can build fixtures without a session)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], pa.binary()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+    })
+    pq.write_table(table, path)
