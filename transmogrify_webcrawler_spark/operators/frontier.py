@@ -1,0 +1,88 @@
+"""Frontier operators: priority, politeness budget (salted), wave top-k,
+deterministic sortorder (SURVEY.md A1, W1, W2, O1/O2).
+
+Scale notes (the 100 TB story):
+- The per-domain budget is computed in TWO phases over a SALTED key so a hot
+  domain (60%+ of the frontier in our skewed fixture; millions of URLs at
+  10^10 scale) never lands on one reducer: phase A ranks within
+  (domain, salt) and keeps <= budget per salt — a superset of the true
+  per-domain top-budget — phase B ranks the <= n_salts*budget survivors per
+  domain. Peak partition size drops from |hot domain| to |hot domain|/n_salts.
+- The global wave top-k is orderBy().limit(k) — Spark plans this as
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows), no
+  full sort, no single fat reducer.
+- sortorder must be a gap-free global index per wave; we window over the
+  bounded wave (<= wave_size rows) — acceptable because wave_size is a
+  config'd bound, NOT data-dependent. The unbounded alternative
+  (repartitionByRange + per-partition offsets via zipWithIndex) is not needed
+  for bounded waves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import registered_domain_udf
+
+PRIORITY_SCALE = 1000.0
+MAX_INLINK_CREDIT = 999
+
+
+def with_priority(frontier: DataFrame) -> DataFrame:
+    """priority = depth*1000 - min(n_refs, 999) — BFS-major with in-link
+    score tiebreak (BASELINE.json north_star: 'depth + in-link score').
+    Pure Catalyst arithmetic; exact in float64 (integer-valued)."""
+    return frontier.withColumn(
+        "priority",
+        F.col("depth").cast("double") * F.lit(PRIORITY_SCALE)
+        - F.least(F.col("n_refs"), F.lit(MAX_INLINK_CREDIT)).cast("double"),
+    )
+
+
+def politeness_budget(
+    frontier: DataFrame, per_domain_budget: int, n_salts: int = 8
+) -> DataFrame:
+    """A1: keep the per-domain top-`budget` URLs by (priority, url_canon),
+    salted two-phase to defeat host skew [BASELINE.json north_rule].
+
+    Phase A per-salt rank keeps <= budget per (domain, salt): every true
+    per-domain winner survives (a per-domain top-budget row is top-budget
+    within its salt a fortiori). Phase B computes the exact answer on the
+    reduced set. Deterministic: all ranks tie-break on url_canon.
+    """
+    df = frontier
+    if "registered_domain" not in df.columns:
+        df = df.withColumn(
+            "registered_domain", registered_domain_udf("url_canon")
+        )
+    salt = F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))
+    w_salt = Window.partitionBy(F.col("registered_domain"), salt) \
+        .orderBy("priority", "url_canon")
+    phase_a = (
+        df.withColumn("_r", F.row_number().over(w_salt))
+        .filter(F.col("_r") <= per_domain_budget)
+        .drop("_r")
+    )
+    w_dom = Window.partitionBy("registered_domain") \
+        .orderBy("priority", "url_canon")
+    return (
+        phase_a.withColumn("_r", F.row_number().over(w_dom))
+        .filter(F.col("_r") <= per_domain_budget)
+        .drop("_r")
+    )
+
+
+def wave_topk(frontier: DataFrame, wave_size: int) -> DataFrame:
+    """W2/O2: global top-wave_size by (priority, url_canon) —
+    TakeOrderedAndProject, not a full sort."""
+    return frontier.orderBy("priority", "url_canon").limit(wave_size)
+
+
+def assign_sortorder(emitted: DataFrame, offset: int) -> DataFrame:
+    """W1: wave-major gap-free crawl index; ties broken on url_canon
+    [UP webcrawler.py _sortorder — monotone BFS counter]."""
+    w = Window.orderBy("priority", "url_canon")
+    return emitted.withColumn(
+        "sortorder", F.row_number().over(w).cast("long") + F.lit(offset) - 1
+    )

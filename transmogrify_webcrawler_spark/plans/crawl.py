@@ -1,0 +1,377 @@
+"""The distributed crawl: checkpointed micro-batch waves over snapshot tables.
+
+This is the Spark rendering of the oracle crawler's pinned wave algorithm
+(oracle/crawler.py — [UP webchecker.py Checker.run] semantics). One wave =
+
+    frontier snapshot ──(priority, salted politeness budget, global top-k)──▶ selected
+    selected ──(⟕ broadcast robots, ⟕ pages on url_canon)──▶ fetched+status
+    fetched ──(Arrow batch UDFs: sniff, extract_text, extract_links)──▶ emitted
+    links ──(scope/ignore Catalyst filters, per-wave dedup)──▶ candidates
+    candidates ──(Bloom-shard prefilter + exact left_anti vs seen)──▶ new frontier
+    atomic multi-table commit {crawled, links, ext_links, errors, seen,
+                               metrics, frontier'}  — resumable (ST1/ST2)
+
+Everything except the five pinned pandas UDFs is Catalyst: filters are Column
+exprs (pushdown-able), the fat `html BINARY` column is pruned before every
+shuffle, robots is a broadcast join, the hot-domain budget is salted, the
+global top-k is TakeOrderedAndProject, and the candidate dedup is a Bloom
+prefilter + anti-join (10^10-scale story in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..oracle.crawler import DEFAULT_AGENT
+from ..oracle.extract import _TYPE_MAP
+from ..functions.udfs import (
+    canonicalize_udf, extract_links_udf, extract_text_udf,
+    registered_domain_udf, robots_allowed_udf, sniff_mimetype_udf,
+    url_to_path_udf,
+)
+from ..operators.frontier import (
+    assign_sortorder, politeness_budget, wave_topk, with_priority,
+)
+from ..operators.dedup import (
+    bloom_maybe_seen, build_bloom_shards, seen_anti_join,
+)
+from ..sources.icetable import SnapshotStore
+from ..shipping import ship_package
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url_canon", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("n_refs", LongType()),
+])
+SEEN_SCHEMA = StructType([
+    StructField("url_canon", StringType()),
+    StructField("wave", IntegerType()),
+])
+
+
+@dataclass
+class SparkCrawlConfig:
+    wave_size: int = 1000
+    per_domain_budget: int = 100
+    max_pages: int = 10**9
+    maxsize: int = 1 << 20
+    max_waves: int = 100
+    ignore: tuple[str, ...] = ()
+    roots: tuple[str, ...] = ()
+    agent: str = DEFAULT_AGENT
+    n_salts: int = 8
+    use_bloom: bool = True
+    n_bloom_shards: int = 32
+    n_buckets: int = 16  # bucket(registered_domain) for table layout
+    arrow_batch: int = 2048  # html is fat: keep Arrow batches small
+
+
+def content_type_expr(mimetype):
+    """T2 typerecognitor as a Catalyst CASE, generated FROM the oracle's
+    pinned map so the two cannot diverge."""
+    expr = F.when(mimetype.startswith("image/"), F.lit("Image"))
+    for mt, ct in _TYPE_MAP.items():
+        expr = expr.when(mimetype == mt, F.lit(ct))
+    return expr.otherwise(F.lit("File"))
+
+
+def site_url_expr(url, roots: tuple[str, ...]):
+    """First matching root in sorted order (pinned, oracle._site_of)."""
+    expr = None
+    for r in sorted(roots):
+        c = F.when(url.startswith(r), F.lit(r))
+        expr = c if expr is None else expr.when(url.startswith(r), F.lit(r))
+    host = F.concat(F.split(url, "/", 4)[0], F.lit("//"),
+                    F.split(url, "/", 4)[2], F.lit("/"))
+    return expr.otherwise(host) if expr is not None else host
+
+
+class SparkCrawler:
+    """Drives checkpointed waves against a SnapshotStore. Resumable: a fresh
+    instance pointed at the same store continues from the last committed
+    wave (BASELINE.json north_rule)."""
+
+    def __init__(self, spark: SparkSession, store_path: str,
+                 cfg: SparkCrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = SnapshotStore(store_path)
+        ship_package(spark)  # executors need the oracle inside the UDFs
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(cfg.arrow_batch))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # -- corpus prep ---------------------------------------------------------
+    def prepare_pages(self, pages: DataFrame) -> DataFrame:
+        """Canonicalize + 'latest capture wins' dedup. Columns kept minimal:
+        url_canon is the join key; html stays BINARY and is pruned everywhere
+        it isn't consumed."""
+        w = Window.partitionBy("url_canon").orderBy(
+            F.col("warc_ts").desc(), F.col("url").desc()
+        )
+        return (
+            pages.select("url", "warc_ts", "html")
+            .withColumn("url_canon", canonicalize_udf("url"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def robots_table(self, pages_prepared: DataFrame) -> DataFrame:
+        """S6: robots universe = pages rows at path /robots.txt."""
+        return (
+            pages_prepared
+            .filter(F.parse_url("url_canon", F.lit("PATH")) == "/robots.txt")
+            .select(
+                registered_domain_udf("url_canon").alias("registered_domain"),
+                F.decode("html", "UTF-8").alias("robots_txt"),
+            )
+        )
+
+    # -- bootstrap -----------------------------------------------------------
+    def bootstrap(self, seeds: list[str]) -> None:
+        """S5: seeds -> frontier snapshot v0, depth=0; seeds enter seen."""
+        spark = self.spark
+        seeds_c = sorted({s for s in (
+            spark.createDataFrame([(u,) for u in seeds], ["url"])
+            .select(canonicalize_udf("url").alias("url_canon"))
+            .toPandas()["url_canon"]
+        )})
+        frontier = spark.createDataFrame(
+            [(u, 0, 0) for u in seeds_c], FRONTIER_SCHEMA
+        )
+        seen = spark.createDataFrame([(u, -1) for u in seeds_c], SEEN_SCHEMA)
+        self.store.commit_wave(
+            -1, appends={"seen": seen}, replaces={"frontier": frontier},
+            extra={"crawled_count": 0, "roots": list(self.cfg.roots) or sorted(
+                {u.split("://", 1)[0] + "://" + u.split("://", 1)[1].split("/", 1)[0] + "/"
+                 for u in seeds_c}
+            )},
+        )
+
+    # -- one wave ------------------------------------------------------------
+    def run_wave(self, wave: int, pages_prepared: DataFrame,
+                 robots: DataFrame, roots: tuple[str, ...],
+                 crawled_count: int) -> int:
+        cfg, spark = self.cfg, self.spark
+        frontier = self.store.read(spark, "frontier", FRONTIER_SCHEMA)
+
+        # --- selection: priority -> salted politeness -> global top-k ------
+        f = with_priority(frontier)
+        f = politeness_budget(f, cfg.per_domain_budget, cfg.n_salts)
+        budget = min(cfg.wave_size, cfg.max_pages - crawled_count)
+        if budget <= 0:
+            return 0
+        selected = wave_topk(f, budget).persist()
+        n_selected = selected.count()
+        if n_selected == 0:
+            selected.unpersist()
+            return 0
+
+        # --- robots (broadcast — tiny dim) + fetch join ---------------------
+        sel = selected.join(F.broadcast(robots), "registered_domain", "left")
+        sel = sel.withColumn(
+            "allowed",
+            robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
+        ).drop("robots_txt")
+        fetched = sel.join(pages_prepared, "url_canon", "left")
+        fetched = fetched.withColumn(
+            "status",
+            F.when(~F.col("allowed"), F.lit("robots"))
+            .when(F.col("html").isNull(), F.lit("notfound"))
+            .when(F.length("html") > cfg.maxsize, F.lit("maxsize"))
+            .otherwise(F.lit("ok")),
+        )
+
+        # --- extraction (the two Arrow boundaries) --------------------------
+        is_ok = F.col("status") == "ok"
+        ok_html = F.when(is_ok, F.col("html"))  # null html for gated rows →
+        # the oracle functions return ''/[] — UDF never parses gated bytes
+        parsed = fetched.withColumn(
+            "mimetype", F.when(is_ok, sniff_mimetype_udf(ok_html, F.col("url_canon"))),
+        )
+        is_html = is_ok & (F.col("mimetype") == "text/html")
+        html_in = F.when(is_html, F.col("html"))
+        parsed = (
+            parsed
+            .withColumn("extracted_text",
+                        F.when(is_ok,
+                               F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
+                                          F.lit(""))))
+            .withColumn("links",
+                        F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+                                   F.array().cast("array<string>")))
+            .withColumn("n_bytes",
+                        F.when(is_ok, F.length("html")).otherwise(0))
+            .drop("html")
+            .persist()
+        )
+
+        errors = parsed.filter(~is_ok).select(
+            "url_canon", F.lit(wave).alias("wave"),
+            F.col("status").alias("reason"),
+        )
+
+        site = site_url_expr(F.col("url_canon"), roots)
+        emitted = parsed.filter(is_ok).withColumn("site_url", site)
+        crawled_new = assign_sortorder(
+            emitted.select(
+                "url", "url_canon", F.lit(wave).alias("wave"), "depth",
+                "priority",
+                url_to_path_udf("url_canon", "site_url").alias("path"),
+                "site_url", "mimetype",
+                content_type_expr(F.col("mimetype")).alias("content_type"),
+                (F.parse_url("url_canon", F.lit("PATH")).endswith("/")
+                 ).alias("isindex"),
+                "extracted_text",
+            ),
+            offset=crawled_count,
+        )
+
+        # --- link pipeline: scope -> ignore -> dedup -> candidates ----------
+        lk = (
+            parsed.filter(is_html)
+            .select(F.col("url_canon").alias("src"), "depth",
+                    F.explode("links").alias("dst"))
+        )
+        in_scope = F.lit(False)
+        for r in sorted(roots):
+            in_scope = in_scope | F.col("dst").startswith(r)
+        ext_links = lk.filter(~in_scope).select(
+            "src", "dst", F.lit(wave).alias("wave"))
+        scoped = lk.filter(in_scope)
+        ignored_cond = F.lit(False)
+        for pat in cfg.ignore:  # re.search semantics == rlike (pinned, F1)
+            ignored_cond = ignored_cond | F.col("dst").rlike(pat)
+        n_ignored = scoped.filter(ignored_cond).count()
+        kept = scoped.filter(~ignored_cond).dropDuplicates(["src", "dst"])
+        links_new = kept.select("src", "dst", F.lit(wave).alias("wave"))
+
+        candidates = kept.groupBy("dst").agg(
+            (F.min("depth") + 1).alias("depth"),
+            F.count("*").alias("new_refs"),  # src distinct after dedup
+        ).withColumnRenamed("dst", "url_canon")
+
+        # --- frontier update: pending-entry merge + seen anti-join ----------
+        remaining = frontier.join(selected.select("url_canon"), "url_canon",
+                                  "left_anti")
+        cand = candidates.persist()
+        merged = (
+            remaining.alias("f")
+            .join(cand.alias("c"), "url_canon", "left")
+            .select(
+                "url_canon",
+                F.least(F.col("f.depth"), F.coalesce(F.col("c.depth"),
+                        F.lit(2**31 - 1))).alias("depth"),
+                (F.col("f.n_refs") + F.coalesce(F.col("c.new_refs"),
+                        F.lit(0))).alias("n_refs"),
+            )
+        )
+        seen = self.store.read(spark, "seen", SEEN_SCHEMA)
+        fresh_cand = cand.join(remaining.select("url_canon"), "url_canon",
+                               "left_anti")
+        if cfg.use_bloom:
+            shards_df = build_bloom_shards(seen, cfg.n_bloom_shards)
+            shards = [(r["shard_id"], r["filter_bytes"])
+                      for r in shards_df.collect()]
+            flagged = bloom_maybe_seen(fresh_cand, shards,
+                                       cfg.n_bloom_shards)
+            definitely_new = flagged.filter(~F.col("_maybe_seen")) \
+                .drop("_maybe_seen")
+            suspects = flagged.filter(F.col("_maybe_seen")) \
+                .drop("_maybe_seen")
+            new_entries = definitely_new.unionByName(
+                seen_anti_join(suspects, seen))
+        else:
+            new_entries = seen_anti_join(fresh_cand, seen)
+        new_entries = new_entries.select(
+            "url_canon", "depth", F.col("new_refs").alias("n_refs"))
+
+        frontier_next = merged.unionByName(new_entries)
+        seen_new = new_entries.select(
+            "url_canon", F.lit(wave).alias("wave"))
+
+        # --- per-partition lineage metrics (A3) ------------------------------
+        part_metrics = (
+            parsed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.sum(F.when(is_ok, 1).otherwise(0)).alias("fetched"),
+                F.sum(F.when(is_html, 1).otherwise(0)).alias("parsed"),
+                F.sum(F.when(F.col("status") == "robots", 1).otherwise(0))
+                 .alias("skipped_robots"),
+                F.sum(F.when(F.col("status") == "maxsize", 1).otherwise(0))
+                 .alias("skipped_maxsize"),
+                F.sum(F.when(F.col("status") == "notfound", 1).otherwise(0))
+                 .alias("skipped_notfound"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("skipped_ignore", F.lit(n_ignored))
+        )
+
+        n_emitted = crawled_new.count()
+        self.store.commit_wave(
+            wave,
+            appends={
+                "crawled": crawled_new, "links": links_new,
+                "ext_links": ext_links, "errors": errors,
+                "seen": seen_new, "metrics": part_metrics,
+            },
+            replaces={"frontier": frontier_next},
+            bucket_keys={"crawled": "url_canon", "frontier": "url_canon"},
+            n_buckets=self.cfg.n_buckets,
+            extra={"crawled_count": crawled_count + n_emitted,
+                   "roots": list(roots)},
+        )
+        selected.unpersist()
+        parsed.unpersist()
+        cand.unpersist()
+        return n_selected
+
+    # -- full crawl ------------------------------------------------------------
+    def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
+        cfg = self.cfg
+        pages_prepared = self.prepare_pages(pages).persist()
+        robots = self.robots_table(pages_prepared)
+        manifest = self.store.current_manifest()
+        if manifest is None:
+            self.bootstrap(seeds)
+            manifest = self.store.current_manifest()
+        roots = tuple(manifest["roots"])
+        wave = manifest["wave"] + 1
+        while wave < cfg.max_waves:
+            manifest = self.store.current_manifest()
+            n = self.run_wave(wave, pages_prepared, robots, roots,
+                              manifest.get("crawled_count", 0))
+            if n == 0:
+                break
+            wave += 1
+        pages_prepared.unpersist()
+        return self.finalize()
+
+    def finalize(self) -> DataFrame:
+        """Backlinks = ALL in-scope referrers over the whole crawl
+        [UP: upstream accumulates into done items, yields at the end]."""
+        spark = self.spark
+        crawled = self.store.read(spark, "crawled")
+        links = self.store.read(
+            spark, "links",
+            StructType([StructField("src", StringType()),
+                        StructField("dst", StringType()),
+                        StructField("wave", IntegerType())]))
+        backs = links.groupBy("dst").agg(
+            F.sort_array(F.collect_set("src")).alias("backlinks"))
+        return (
+            crawled.join(backs, crawled["url_canon"] == backs["dst"], "left")
+            .drop("dst")
+            .withColumn("backlinks",
+                        F.coalesce("backlinks",
+                                   F.array().cast("array<string>")))
+        )

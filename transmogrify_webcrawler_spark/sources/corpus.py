@@ -16,7 +16,7 @@ out-of-scope links. Host skew: domain 0 holds >=60%% of pages (Zipf-ish).
 from __future__ import annotations
 
 import random
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from ..oracle.extract import extract_text
 from ..oracle.urlnorm import canonicalize
@@ -132,6 +132,7 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
 
     ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
     rows = []
+    row_i = 0
     for d_i, dom in enumerate(domains):
         for i in range(n_pages[dom]):
             url = _page_url(dom, i, rng)
@@ -156,11 +157,15 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
             text = extract_text(html, url_c) if html[:1] == b"<" else ""
             rows.append(dict(
                 url=url,
-                warc_ts=ts0.replace(tzinfo=None),
+                # distinct, monotone capture timestamps: 'latest capture
+                # wins' dedup (Common-Crawl semantics) is exercised on the
+                # duplicate-url_canon rows (e.g. two i values -> same /dN/)
+                warc_ts=(ts0 + timedelta(minutes=row_i)).replace(tzinfo=None),
                 html=html,
                 text=text,
                 lang="en",
             ))
+            row_i += 1
         # robots.txt rows live in the pages table (FIXTURES.md B.3)
         if d_i == 1:
             robots = b"User-agent: *\nDisallow: /d1/\nCrawl-delay: 2\n"
@@ -197,12 +202,16 @@ DEFAULT_IGNORE = (r"/private/", r"\.zip$")
 
 
 def pages_index(rows):
-    """url_canon -> (raw_url, html) dict for the oracle crawler; later rows
-    with the same url_canon win (pinned — mirrors last-write in the join)."""
-    idx = {}
+    """url_canon -> (raw_url, html) for the oracle crawler. Pinned winner for
+    duplicate url_canon: max (warc_ts, url) — 'latest capture wins', matching
+    the Spark side's row_number over (warc_ts DESC, url DESC)."""
+    best = {}
     for r in rows:
-        idx[canonicalize(r["url"])] = (r["url"], r["html"])
-    return idx
+        c = canonicalize(r["url"])
+        key = (r["warc_ts"], r["url"])
+        if c not in best or key > best[c][0]:
+            best[c] = (key, (r["url"], r["html"]))
+    return {c: v for c, (_, v) in best.items()}
 
 
 def write_parquet(rows, path: str):
