@@ -1,0 +1,665 @@
+"""Driver-harness queries: PySpark builders + DuckDB oracle SQL
+(__spark_entry__.py contract). One entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline suite. Every computed column is
+aliased identically in both the Spark builder and the SQL (the driver's
+comparator hashes values under sorted column names).
+
+Pairs marked rows-only (no oracle) are genuinely non-SQL-expressible:
+engine-internal hashing (minhash/simhash/LSH), the full crawl loop, and the
+multimodal mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# =============================================================================
+# crawl-operator analogs over the driver testdata (SQL-expressible — J/A/W/F/O)
+# =============================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """Headline agg (A3-style metrics rollup shape): TPC-H Q1-ish."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_anti_join_dedup(spark, sf_dir):
+    """J1: URL-seen anti-join shape — customers with no orders."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti").select("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_bloom_seen_dedup(spark, sf_dir):
+    """J1+A4: the REAL bloom path — seen = even orderkeys, candidates =
+    distinct lineitem orderkeys; bloom-shard prefilter + exact anti-join
+    backstop. The SQL oracle proves zero false negatives end-to-end."""
+    from .operators.dedup import (
+        bloom_maybe_seen, build_bloom_shards, seen_anti_join)
+
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    seen = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("string").alias("url_canon"))
+    cand = li.select(
+        F.col("l_orderkey").cast("string").alias("url_canon")).distinct()
+    shards_df = build_bloom_shards(seen, n_shards=8)
+    shards = [(r["shard_id"], r["filter_bytes"]) for r in shards_df.collect()]
+    flagged = bloom_maybe_seen(cand, shards, 8)
+    new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen") \
+        .unionByName(seen_anti_join(
+            flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"), seen))
+    return new.select(F.col("url_canon").cast("long").alias("new_orderkey"))
+
+
+SQL_BLOOM_SEEN = """
+SELECT DISTINCT l_orderkey AS new_orderkey FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_orderkey % 2 = 0)
+"""
+
+
+def q_fetch_join(spark, sf_dir):
+    """J2/J3: frontier⋈pages fetch-join shape with a broadcast dim."""
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = _read(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c),
+                  o["o_custkey"] == c["c_custkey"], "left").select(
+        "o_orderkey", "c_name",
+        F.round("o_totalprice", 2).alias("totalprice"))
+
+
+SQL_FETCH_JOIN = """
+SELECT o_orderkey, c_name, round(o_totalprice, 2) AS totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 100000
+"""
+
+
+def q_backlink_collect(spark, sf_dir):
+    """J4: backlink aggregation — sorted referrer list per target."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list(
+            F.col("l_partkey").cast("string")))).alias("backlinks"),
+        F.count("*").alias("n_links"),
+    )
+
+
+SQL_BACKLINK = """
+SELECT l_orderkey,
+       string_agg(l_partkey::varchar, ',' ORDER BY l_partkey::varchar)
+           AS backlinks,
+       count(*) AS n_links
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_inlink_score(spark, sf_dir):
+    """A2: in-link score — distinct referrer count per target."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_inlinks"))
+
+
+SQL_INLINK = """
+SELECT l_partkey, count(DISTINCT l_orderkey) AS n_inlinks
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def q_politeness_topk(spark, sf_dir):
+    """A1/W2: per-key budget — top-3 events per user by (value desc, id)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+SQL_POLITENESS = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """A1 skew handling: two-phase salted aggregation — partial agg on
+    (key, salt), then merge. Same answer as a plain GROUP BY (the oracle),
+    but the hot key fans out over 16 reducers first."""
+    e = _read(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16))
+    partial = (
+        e.groupBy("event_type", salt.alias("_salt"))
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.round(F.sum("s"), 2).alias("sum_value"),
+    )
+
+
+SQL_SALTED = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_priority_topk(spark, sf_dir):
+    """W2/O2: global priority top-k (TakeOrderedAndProject)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderpriority", "o_orderkey").limit(100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+SQL_PRIORITY_TOPK = """
+SELECT o_orderkey, o_orderpriority FROM orders
+ORDER BY o_orderpriority, o_orderkey LIMIT 100
+"""
+
+
+def q_sortorder_window(spark, sf_dir):
+    """W1: deterministic global crawl index over a bounded set."""
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey",
+                    F.row_number().over(w).cast("long").alias("sortorder"))
+
+
+SQL_SORTORDER = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS sortorder
+FROM orders WHERE o_totalprice > 250000
+"""
+
+
+def q_ignore_regex(spark, sf_dir):
+    """F1: ignore-pattern gate (rlike == re.search == regexp_matches)."""
+    d = _read(spark, sf_dir, "documents")
+    pat = "(slow|error)"
+    return d.filter(~F.col("text").rlike(pat)).select("doc_id")
+
+
+SQL_IGNORE_REGEX = """
+SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '(slow|error)')
+"""
+
+
+def q_maxsize_gate(spark, sf_dir):
+    """F3: maxsize gate."""
+    d = _read(spark, sf_dir, "documents")
+    return d.filter(F.col("n_chars") <= 300).select("doc_id", "n_chars")
+
+
+SQL_MAXSIZE = "SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300"
+
+
+def q_content_type_gate(spark, sf_dir):
+    """F4/T2: typerecognitor CASE map + routing counts."""
+    d = _read(spark, sf_dir, "documents")
+    ct = (
+        F.when(F.col("lang") == "en", F.lit("Document"))
+        .when(F.col("source").isin("src0", "src1"), F.lit("Image"))
+        .otherwise(F.lit("File"))
+    )
+    return d.select(ct.alias("content_type")).groupBy("content_type").agg(
+        F.count("*").alias("n"))
+
+
+SQL_CONTENT_TYPE = """
+SELECT CASE WHEN lang = 'en' THEN 'Document'
+            WHEN source IN ('src0','src1') THEN 'Image'
+            ELSE 'File' END AS content_type,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_union_pipeline(spark, sf_dir):
+    """O3: pipeline concat (unionByName) + distinct."""
+    o = _read(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION = """
+SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """ST-analog: tumbling-window rollup (wave metrics shape)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """C1: RFC-3986 canonicalization UDF vs constructed expected values —
+    the oracle SQL builds the expected canonical string directly."""
+    from .functions.udfs import canonicalize_udf
+
+    p = _read(spark, sf_dir, "part")
+    url = F.concat(F.lit("HTTP://SHOP"),
+                   (F.col("p_partkey") % 50).cast("string"),
+                   F.lit(".COM:80/a/../items/%7E"),
+                   F.col("p_partkey").cast("string"),
+                   F.lit(".html#frag"))
+    return p.select(F.col("p_partkey").alias("p_partkey"),
+                    canonicalize_udf(url).alias("url_canon"))
+
+
+SQL_URL_CANON = """
+SELECT p_partkey,
+       'http://shop' || (p_partkey % 50) || '.com/items/~' || p_partkey
+           || '.html' AS url_canon
+FROM part
+"""
+
+
+def q_registered_domain(spark, sf_dir):
+    """C2: eTLD+1 with a two-level public suffix."""
+    from .functions.udfs import registered_domain_udf
+
+    p = _read(spark, sf_dir, "part")
+    url = F.concat(F.lit("http://www.sub.brand"),
+                   (F.col("p_partkey") % 20).cast("string"),
+                   F.lit(".co.uk/x"))
+    return p.select("p_partkey",
+                    registered_domain_udf(url).alias("registered_domain"))
+
+
+SQL_REG_DOMAIN = """
+SELECT p_partkey, 'brand' || (p_partkey % 20) || '.co.uk' AS registered_domain
+FROM part
+"""
+
+
+# =============================================================================
+# training-data pipeline suite (documents / embeddings)
+# =============================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.textops import dedup_exact
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ')) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators.textops import doc_fingerprint
+    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators.textops import lang_id
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN
+           len(list_filter(ws, w -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','for'], w)))
+           * 1.0 / len(ws)
+         ELSE 0.0 END AS ratio
+  FROM w
+)
+SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+       CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred
+FROM r
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from .operators.textops import quality_score
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(ws) AS n_words,
+       round(CASE WHEN length(text) > 0 THEN
+         (length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()]', '', 'g'))) * 1.0 / length(text)
+         ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN len(ws) > 0 THEN
+         list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws)
+         ELSE 0.0 END, 4) AS mean_word_len
+FROM w
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from .operators.textops import token_count
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS n_tokens_ws,
+       ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)::bigint
+           AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .operators.textops import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.2
+    ).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM w
+), sh_f AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh_f GROUP BY doc_id
+), df_ok AS (
+  SELECT shingle FROM sh_f GROUP BY shingle HAVING count(*) <= 1000
+), sf2 AS (
+  SELECT s.doc_id, s.shingle FROM sh_f s JOIN df_ok USING (shingle)
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sf2 x JOIN sf2 y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-5 for the first 10 vectors as queries.
+    Both sides compute in float64 over the same values."""
+    from .operators.similarity import brute_force_knn
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return brute_force_knn(emb, q, k=5)
+
+
+SQL_KNN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.q_vec)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_norm(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select("vec_id", F.round(norm, 4).alias("l2_norm"))
+
+
+SQL_EMB_NORM = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+# =============================================================================
+# rows-only (genuinely non-SQL-expressible): crawl loop, LSH internals,
+# multimodal plumbing
+# =============================================================================
+
+def q_crawl_mini(spark, sf_dir):
+    """The engine itself: deterministic mini-corpus, full wave-loop crawl."""
+    from .plans.crawl import SparkCrawlConfig, SparkCrawler
+    from .sources.corpus import DEFAULT_IGNORE, generate_corpus, write_parquet
+
+    tmp = tempfile.mkdtemp(prefix="crawl_mini_")
+    rows, seeds, _ = generate_corpus(n_domains=4, total_pages=120)
+    pq = os.path.join(tmp, "pages.parquet")
+    write_parquet(rows, pq)
+    cfg = SparkCrawlConfig(wave_size=40, per_domain_budget=15,
+                           maxsize=64 * 1024, ignore=DEFAULT_IGNORE,
+                           max_waves=20)
+    crawler = SparkCrawler(spark, os.path.join(tmp, "store"), cfg)
+    out = crawler.run(spark.read.parquet(pq), seeds)
+    return out.select("url_canon", "wave", "depth", "sortorder", "path",
+                      "mimetype", "content_type", "isindex",
+                      "extracted_text")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from .operators.textops import minhash_lsh_pairs
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+                             threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    from .operators.textops import simhash_pairs
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_lsh_knn(spark, sf_dir):
+    from .operators.similarity import lsh_knn
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_knn(emb, q, k=5, n_planes=8, dim=64)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: payloads synthesized from documents text plus
+    magic-byte rows; decode kernel is a documented stub."""
+    from .operators.multimodal import extract_media_meta
+
+    d = _read(spark, sf_dir, "documents").limit(200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(b"\xff\xd8\xff\xe0"), F.col("text").cast("binary")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit(b"ID3"), F.col("text").cast("binary")))
+        .otherwise(F.col("text").cast("binary")).alias("payload"),
+    )
+    return extract_media_meta(media).select(
+        "media_id", "mimetype", "n_bytes", "width", "height", "duration_s")
+
+
+# =============================================================================
+# registry
+# =============================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "anti_join_dedup": q_anti_join_dedup,
+        "bloom_seen_dedup": q_bloom_seen_dedup,
+        "fetch_join": q_fetch_join,
+        "backlink_collect": q_backlink_collect,
+        "inlink_score": q_inlink_score,
+        "politeness_topk": q_politeness_topk,
+        "salted_agg": q_salted_agg,
+        "priority_topk": q_priority_topk,
+        "sortorder_window": q_sortorder_window,
+        "ignore_regex": q_ignore_regex,
+        "maxsize_gate": q_maxsize_gate,
+        "content_type_gate": q_content_type_gate,
+        "union_pipeline": q_union_pipeline,
+        "events_hourly": q_events_hourly,
+        "url_canonicalize": q_url_canonicalize,
+        "registered_domain": q_registered_domain,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "embedding_norm": q_embedding_norm,
+        # rows-only below
+        "crawl_mini": q_crawl_mini,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash,
+        "lsh_knn": q_lsh_knn,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "anti_join_dedup": SQL_ANTI_JOIN,
+        "bloom_seen_dedup": SQL_BLOOM_SEEN,
+        "fetch_join": SQL_FETCH_JOIN,
+        "backlink_collect": SQL_BACKLINK,
+        "inlink_score": SQL_INLINK,
+        "politeness_topk": SQL_POLITENESS,
+        "salted_agg": SQL_SALTED,
+        "priority_topk": SQL_PRIORITY_TOPK,
+        "sortorder_window": SQL_SORTORDER,
+        "ignore_regex": SQL_IGNORE_REGEX,
+        "maxsize_gate": SQL_MAXSIZE,
+        "content_type_gate": SQL_CONTENT_TYPE,
+        "union_pipeline": SQL_UNION,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "url_canonicalize": SQL_URL_CANON,
+        "registered_domain": SQL_REG_DOMAIN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY,
+        "token_count": SQL_TOKEN_COUNT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "knn_cosine": SQL_KNN,
+        "embedding_norm": SQL_EMB_NORM,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full distributed crawl on the deterministic corpus
+    (sf0.001-scale), returning the crawled table."""
+    return q_crawl_mini(spark, "/root/testdata/sf0.001")

