@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Runs (a) the distributed crawl on a cached deterministic corpus — the
+headline metric, pages-crawled/sec — and (b) the heavy harness queries at
+$SPARK_GRAFT_SF_DIR. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     SPARK_GRAFT_CRAWL_PAGES (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+BENCH_QUERIES = [
+    "pricing_summary", "salted_agg", "backlink_collect", "politeness_topk",
+    "dedup_exact", "token_count", "minhash_lsh", "knn_cosine",
+    "ngram_jaccard", "simhash_pairs",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(n_pages: int) -> str:
+    """Deterministic bench corpus, cached under BENCH/ (seed=42)."""
+    path = os.path.join(REPO, "BENCH", f"corpus_{n_pages}.parquet")
+    if not os.path.exists(path):
+        from transmogrify_webcrawler_spark.sources.corpus import (
+            generate_corpus, write_parquet)
+
+        n_domains = max(8, n_pages // 500)
+        rows, seeds, _ = generate_corpus(n_domains=n_domains,
+                                         total_pages=n_pages)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_parquet(rows, path)
+        with open(path + ".seeds.json", "w") as f:
+            json.dump(seeds, f)
+    return path
+
+
+def bench_crawl(spark, n_pages: int) -> dict:
+    import shutil
+    import tempfile
+
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler)
+    from transmogrify_webcrawler_spark.sources.corpus import DEFAULT_IGNORE
+
+    path = ensure_corpus(n_pages)
+    with open(path + ".seeds.json") as f:
+        seeds = json.load(f)
+    pages = spark.read.parquet(path)
+    store = tempfile.mkdtemp(prefix="bench_store_")
+    cfg = SparkCrawlConfig(
+        wave_size=max(n_pages // 4, 1000), per_domain_budget=10**9,
+        maxsize=64 * 1024, ignore=DEFAULT_IGNORE, max_waves=50,
+        use_bloom=True, n_bloom_shards=32,
+    )
+    crawler = SparkCrawler(spark, store, cfg)
+    t0 = time.time()
+    out = crawler.run(pages, seeds)
+    n_crawled = out.count()
+    wall = time.time() - t0
+    waves = crawler.store.current_wave() + 1
+    shutil.rmtree(store, ignore_errors=True)
+    return dict(crawl_sec=round(wall, 2), pages_crawled=n_crawled,
+                waves=waves, pages_per_sec=round(n_crawled / wall, 1))
+
+
+def bench_queries(spark) -> dict:
+    from transmogrify_webcrawler_spark import harness
+
+    qs = harness.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main():
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    crawl = bench_crawl(spark, CRAWL_PAGES)
+    queries = bench_queries(spark)
+    total = round(crawl["crawl_sec"] + sum(queries.values()), 2)
+    queries["crawl"] = crawl["crawl_sec"]
+    result = {
+        "metric": "crawl+query wall time (headline: pages_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pages_per_sec": crawl["pages_per_sec"],
+        "pages_crawled": crawl["pages_crawled"],
+        "waves": crawl["waves"],
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,15 +78,18 @@ SHARD_SCHEMA = StructType([
 
 def build_bloom_shards(
     seen: DataFrame, n_shards: int, bits_per_key: int = 10,
-    expected_per_shard: int | None = None,
+    expected_per_shard: int | None = None, nbytes: int | None = None,
 ) -> DataFrame:
     """A4: per-partition shard fragments built in mapInPandas, merged with a
     bitwise-OR groupBy(shard_id).applyInPandas — the DataFrame form of
-    treeAggregate(OR). Returns SHARD_SCHEMA rows (one per shard)."""
-    spark = seen.sparkSession
-    n = seen.count()
-    per_shard = expected_per_shard or max(n // max(n_shards, 1), 1024)
-    nbytes = max((per_shard * bits_per_key + 7) // 8, 64)
+    treeAggregate(OR). Returns SHARD_SCHEMA rows (one per shard).
+
+    Pass ``nbytes`` for a FIXED shard size (required when fragments from
+    different waves are OR-merged incrementally — sizes must agree)."""
+    if nbytes is None:
+        n = seen.count()
+        per_shard = expected_per_shard or max(n // max(n_shards, 1), 1024)
+        nbytes = max((per_shard * bits_per_key + 7) // 8, 64)
 
     shard_col = F.pmod(F.xxhash64("url_canon"), F.lit(n_shards)).cast("int")
     with_shard = seen.select(
@@ -156,6 +159,53 @@ def bloom_maybe_seen(
     return candidates.withColumn(
         "_maybe_seen", probe(F.col(col), shard_col)
     )
+
+
+def collect_bloom_fragments(new_urls: DataFrame, n_shards: int,
+                            nbytes: int) -> dict[int, "np.ndarray"]:
+    """Incremental path: build fixed-size shard fragments from ONLY the
+    newly-seen URLs and collect them to the driver, where the crawler
+    OR-merges them into its standing shard state (A4 at 10^10 scale: per-wave
+    work is O(|new|), never a rescan of the full seen set).
+
+    The merge runs driver-side (no groupBy shuffle): fragments are
+    (n_partitions x n_shards) rows of nbytes each — tiny next to the data
+    that produced them."""
+    shard_col = F.pmod(F.xxhash64("url_canon"), F.lit(n_shards)).cast("int")
+    with_shard = new_urls.select(F.col("url_canon"),
+                                 shard_col.alias("shard_id"))
+
+    def build(pdfs):
+        for pdf in pdfs:
+            for sid, grp in pdf.groupby("shard_id"):
+                bits = np.zeros(nbytes, dtype=np.uint8)
+                h1, h2 = _hash2(grp["url_canon"])
+                _set_bits(bits, h1, h2)
+                yield pd.DataFrame({
+                    "shard_id": [int(sid)],
+                    "filter_bytes": [bits.tobytes()],
+                    "n_items": [len(grp)],
+                })
+
+    out: dict[int, np.ndarray] = {}
+    for r in with_shard.mapInPandas(build, SHARD_SCHEMA).collect():
+        sid = int(r["shard_id"])
+        bits = np.frombuffer(r["filter_bytes"], dtype=np.uint8)
+        if sid in out:
+            out[sid] = out[sid] | bits
+        else:
+            out[sid] = bits.copy()
+    return out
+
+
+def merge_fragments(state: dict[int, "np.ndarray"],
+                    frags: dict[int, "np.ndarray"]) -> None:
+    for sid, bits in frags.items():
+        cur = state.get(sid)
+        if cur is None:
+            state[sid] = bits.copy()
+        else:
+            cur |= bits
 
 
 def seen_anti_join(candidates: DataFrame, seen: DataFrame,

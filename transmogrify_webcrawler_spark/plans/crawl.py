@@ -20,6 +20,8 @@ prefilter + anti-join (10^10-scale story in operators/dedup.py).
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +42,8 @@ from ..operators.frontier import (
     assign_sortorder, politeness_budget, wave_topk, with_priority,
 )
 from ..operators.dedup import (
-    bloom_maybe_seen, build_bloom_shards, seen_anti_join,
+    bloom_maybe_seen, build_bloom_shards, collect_bloom_fragments,
+    merge_fragments, seen_anti_join,
 )
 from ..sources.icetable import SnapshotStore
 from ..shipping import ship_package
@@ -69,6 +72,12 @@ class SparkCrawlConfig:
     n_salts: int = 8
     use_bloom: bool = True
     n_bloom_shards: int = 32
+    # fixed shard size so incremental OR-merges line up. 128 KiB/shard x 32
+    # shards = 4 MiB total = ~10 bits/key for ~3.4M URLs. At the 10^10
+    # design point: n_bloom_shards=1024, shard_bytes=12<<20 (~12 MiB/shard,
+    # 12.5 GB total, fpp~1% at k=7) — per-executor probe still touches only
+    # the shards its candidates hash to.
+    bloom_shard_bytes: int = 1 << 17
     n_buckets: int = 16  # bucket(registered_domain) for table layout
     arrow_batch: int = 2048  # html is fat: keep Arrow batches small
 
@@ -103,10 +112,32 @@ class SparkCrawler:
         self.spark = spark
         self.cfg = cfg
         self.store = SnapshotStore(store_path)
+        self.timings: list[dict] = []  # per-wave step wall times (lineage)
         ship_package(spark)  # executors need the oracle inside the UDFs
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(cfg.arrow_batch))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # frontier-state tables are tiny relative to shuffle.partitions —
+        # let AQE coalesce aggressively instead of keeping parallelism-many
+        # micro-tasks per stage (dominant fixed cost per wave otherwise)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # cached plans freeze their output partitioning unless this is on —
+        # without it every stage over a persisted state table runs
+        # shuffle.partitions-many micro-tasks
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true")
+        self._bloom: dict[int, "object"] | None = None  # sid -> np.uint8[]
+
+    @contextmanager
+    def _timed(self, wave: int, step: str):
+        t0 = time.time()
+        yield
+        self.timings.append(
+            dict(wave=wave, step=step, sec=round(time.time() - t0, 3)))
 
     # -- corpus prep ---------------------------------------------------------
     def prepare_pages(self, pages: DataFrame) -> DataFrame:
@@ -161,7 +192,8 @@ class SparkCrawler:
                  robots: DataFrame, roots: tuple[str, ...],
                  crawled_count: int) -> int:
         cfg, spark = self.cfg, self.spark
-        frontier = self.store.read(spark, "frontier", FRONTIER_SCHEMA)
+        frontier = self.store.read(spark, "frontier",
+                                   FRONTIER_SCHEMA).persist()
 
         # --- selection: priority -> salted politeness -> global top-k ------
         f = with_priority(frontier)
@@ -170,9 +202,11 @@ class SparkCrawler:
         if budget <= 0:
             return 0
         selected = wave_topk(f, budget).persist()
-        n_selected = selected.count()
+        with self._timed(wave, "select"):
+            n_selected = selected.count()
         if n_selected == 0:
             selected.unpersist()
+            frontier.unpersist()
             return 0
 
         # --- robots (broadcast — tiny dim) + fetch join ---------------------
@@ -250,7 +284,8 @@ class SparkCrawler:
         ignored_cond = F.lit(False)
         for pat in cfg.ignore:  # re.search semantics == rlike (pinned, F1)
             ignored_cond = ignored_cond | F.col("dst").rlike(pat)
-        n_ignored = scoped.filter(ignored_cond).count()
+        with self._timed(wave, "ignored_count"):
+            n_ignored = scoped.filter(ignored_cond).count()
         kept = scoped.filter(~ignored_cond).dropDuplicates(["src", "dst"])
         links_new = kept.select("src", "dst", F.lit(wave).alias("wave"))
 
@@ -278,9 +313,10 @@ class SparkCrawler:
         fresh_cand = cand.join(remaining.select("url_canon"), "url_canon",
                                "left_anti")
         if cfg.use_bloom:
-            shards_df = build_bloom_shards(seen, cfg.n_bloom_shards)
-            shards = [(r["shard_id"], r["filter_bytes"])
-                      for r in shards_df.collect()]
+            # standing shard state, updated incrementally per wave — the
+            # build cost is O(|new urls this wave|), never a seen rescan
+            shards = [(sid, arr.tobytes())
+                      for sid, arr in self._bloom_state().items()]
             flagged = bloom_maybe_seen(fresh_cand, shards,
                                        cfg.n_bloom_shards)
             definitely_new = flagged.filter(~F.col("_maybe_seen")) \
@@ -292,7 +328,8 @@ class SparkCrawler:
         else:
             new_entries = seen_anti_join(fresh_cand, seen)
         new_entries = new_entries.select(
-            "url_canon", "depth", F.col("new_refs").alias("n_refs"))
+            "url_canon", "depth", F.col("new_refs").alias("n_refs")
+        ).persist()  # consumed by frontier', seen', and the bloom update
 
         frontier_next = merged.unionByName(new_entries)
         seen_new = new_entries.select(
@@ -316,7 +353,29 @@ class SparkCrawler:
             .withColumn("skipped_ignore", F.lit(n_ignored))
         )
 
-        n_emitted = crawled_new.count()
+        with self._timed(wave, "extract_emit"):
+            crawled_new = crawled_new.persist()
+            n_emitted = crawled_new.count()
+        if cfg.use_bloom:
+            with self._timed(wave, "bloom_update"):
+                frags = collect_bloom_fragments(
+                    new_entries.select("url_canon"), cfg.n_bloom_shards,
+                    cfg.bloom_shard_bytes)
+                merge_fragments(self._bloom_state(), frags)
+        with self._timed(wave, "commit"):
+            self._commit(wave, crawled_new, links_new, ext_links, errors,
+                         seen_new, part_metrics, frontier_next, roots,
+                         crawled_count + n_emitted)
+        selected.unpersist()
+        parsed.unpersist()
+        cand.unpersist()
+        new_entries.unpersist()
+        crawled_new.unpersist()
+        frontier.unpersist()
+        return n_selected
+
+    def _commit(self, wave, crawled_new, links_new, ext_links, errors,
+                seen_new, part_metrics, frontier_next, roots, crawled_count):
         self.store.commit_wave(
             wave,
             appends={
@@ -327,19 +386,50 @@ class SparkCrawler:
             replaces={"frontier": frontier_next},
             bucket_keys={"crawled": "url_canon", "frontier": "url_canon"},
             n_buckets=self.cfg.n_buckets,
-            extra={"crawled_count": crawled_count + n_emitted,
-                   "roots": list(roots)},
+            extra={"crawled_count": crawled_count, "roots": list(roots)},
+            blobs=({"bloom": self._bloom_blob()}
+                   if self.cfg.use_bloom else None),
         )
-        selected.unpersist()
-        parsed.unpersist()
-        cand.unpersist()
-        return n_selected
+
+    def _bloom_state(self) -> dict:
+        """Standing Bloom shard state: loaded from the last committed blob
+        (resume), rebuilt from the seen table if the blob is missing, or
+        empty at bootstrap."""
+        if self._bloom is not None:
+            return self._bloom
+        import pickle
+
+        import numpy as np
+
+        raw = self.store.read_blob("bloom")
+        if raw is not None:
+            self._bloom = {
+                sid: np.frombuffer(b, dtype=np.uint8).copy()
+                for sid, b in pickle.loads(raw).items()
+            }
+        else:
+            seen = self.store.read(self.spark, "seen", SEEN_SCHEMA)
+            self._bloom = collect_bloom_fragments(
+                seen.select("url_canon"), self.cfg.n_bloom_shards,
+                self.cfg.bloom_shard_bytes)
+        return self._bloom
+
+    def _bloom_blob(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {sid: arr.tobytes() for sid, arr in (self._bloom or {}).items()})
 
     # -- full crawl ------------------------------------------------------------
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
         cfg = self.cfg
         pages_prepared = self.prepare_pages(pages).persist()
-        robots = self.robots_table(pages_prepared)
+        # robots is a tiny dim consulted every wave: materialize it once on
+        # the driver instead of re-deriving from the corpus per wave
+        robots_src = self.robots_table(pages_prepared)
+        robots_rows = robots_src.collect()
+        robots = self.spark.createDataFrame(robots_rows, robots_src.schema) \
+            if robots_rows else robots_src
         manifest = self.store.current_manifest()
         if manifest is None:
             self.bootstrap(seeds)

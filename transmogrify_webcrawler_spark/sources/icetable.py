@@ -61,6 +61,7 @@ class SnapshotStore:
         bucket_keys: dict[str, str] | None = None,
         n_buckets: int = 0,
         extra: dict | None = None,
+        blobs: dict[str, bytes] | None = None,
     ) -> dict:
         """Write every table's new data dir, then atomically publish the
         manifest. Data dirs written before the pointer flip are invisible to
@@ -70,7 +71,10 @@ class SnapshotStore:
             k: list(v) for k, v in prev["tables"].items()
         }
         bucket_keys = bucket_keys or {}
+        import time as _time
+        self.last_write_times: dict[str, float] = {}
         for name, df in {**appends, **replaces}.items():
+            _t0 = _time.time()
             rel = os.path.join("data", name, f"wave={wave:06d}")
             out = os.path.join(self.root, rel)
             key = bucket_keys.get(name)
@@ -82,7 +86,18 @@ class SnapshotStore:
                 tables[name] = [rel]
             else:
                 tables.setdefault(name, []).append(rel)
-        manifest = {"wave": wave, "tables": tables, **(extra or {})}
+            self.last_write_times[name] = round(_time.time() - _t0, 3)
+        blob_paths = dict((self.current_manifest() or {}).get("blobs", {}))
+        for name, payload in (blobs or {}).items():
+            rel = os.path.join("data", "_blobs", f"{name}.wave{wave:06d}.bin")
+            full = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full + ".tmp", "wb") as f:
+                f.write(payload)
+            os.replace(full + ".tmp", full)
+            blob_paths[name] = rel
+        manifest = {"wave": wave, "tables": tables, "blobs": blob_paths,
+                    **(extra or {})}
         version = f"v{wave:06d}.json"
         with open(os.path.join(self.root, "_snapshots", version), "w") as f:
             json.dump(manifest, f)
@@ -103,6 +118,14 @@ class SnapshotStore:
                 raise KeyError(f"table {name} has no snapshot and no schema")
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
+
+    def read_blob(self, name: str) -> bytes | None:
+        m = self.current_manifest()
+        rel = (m or {}).get("blobs", {}).get(name)
+        if rel is None:
+            return None
+        with open(os.path.join(self.root, rel), "rb") as f:
+            return f.read()
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
