@@ -87,6 +87,12 @@ def bench_crawl(spark, n_pages: int) -> dict:
     out = crawler.run(pages, seeds)
     n_crawled = out.count()
     wall = time.time() - t0
+    if os.environ.get("SPARK_GRAFT_DEBUG"):
+        import collections
+        agg = collections.defaultdict(float)
+        for t in crawler.timings:
+            agg[t["step"]] += t["sec"]
+        print("DEBUG steps:", dict(agg), file=sys.stderr)
     waves = crawler.store.current_wave() + 1
     shutil.rmtree(store, ignore_errors=True)
     return dict(crawl_sec=round(wall, 2), pages_crawled=n_crawled,

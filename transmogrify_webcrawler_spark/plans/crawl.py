@@ -141,19 +141,25 @@ class SparkCrawler:
 
     # -- corpus prep ---------------------------------------------------------
     def prepare_pages(self, pages: DataFrame) -> DataFrame:
-        """Canonicalize + 'latest capture wins' dedup. Columns kept minimal:
-        url_canon is the join key; html stays BINARY and is pruned everywhere
-        it isn't consumed."""
-        w = Window.partitionBy("url_canon").orderBy(
-            F.col("warc_ts").desc(), F.col("url").desc()
-        )
-        return (
-            pages.select("url", "warc_ts", "html")
+        """Canonicalize + 'latest capture wins' dedup (max (warc_ts, url) per
+        url_canon).
+
+        Scale-critical shape: the winner is chosen on SKINNY columns
+        (url_canon, warc_ts, url) via a map-side-combinable max(struct(...)),
+        then joined back — the fat `html BINARY` column never enters a
+        shuffle. The window-function alternative would repartition the entire
+        corpus body-bytes (terabytes at the design point) just to pick
+        winners."""
+        canon = pages.select("url", "warc_ts", "html") \
             .withColumn("url_canon", canonicalize_udf("url"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        winners = (
+            canon.select("url_canon", "warc_ts", "url")
+            .groupBy("url_canon")
+            .agg(F.max(F.struct("warc_ts", "url")).alias("_w"))
+            .select("url_canon", F.col("_w.warc_ts").alias("warc_ts"),
+                    F.col("_w.url").alias("url"))
         )
+        return canon.join(winners, ["url_canon", "warc_ts", "url"])
 
     def robots_table(self, pages_prepared: DataFrame) -> DataFrame:
         """S6: robots universe = pages rows at path /robots.txt."""
@@ -310,8 +316,10 @@ class SparkCrawler:
             )
         )
         seen = self.store.read(spark, "seen", SEEN_SCHEMA)
-        fresh_cand = cand.join(remaining.select("url_canon"), "url_canon",
-                               "left_anti")
+        # frontier ⊆ seen (every pending URL was added to seen at discovery),
+        # so the seen anti-join alone yields exactly the fresh candidates —
+        # no separate anti-join against `remaining` is needed
+        fresh_cand = cand
         if cfg.use_bloom:
             # standing shard state, updated incrementally per wave — the
             # build cost is O(|new urls this wave|), never a seen rescan
@@ -353,15 +361,22 @@ class SparkCrawler:
             .withColumn("skipped_ignore", F.lit(n_ignored))
         )
 
+        # materialize the wave concurrently: emit-count and the bloom
+        # fragment build are independent once `parsed` is cached
+        from concurrent.futures import ThreadPoolExecutor
+
+        crawled_new = crawled_new.persist()
         with self._timed(wave, "extract_emit"):
-            crawled_new = crawled_new.persist()
-            n_emitted = crawled_new.count()
-        if cfg.use_bloom:
-            with self._timed(wave, "bloom_update"):
-                frags = collect_bloom_fragments(
-                    new_entries.select("url_canon"), cfg.n_bloom_shards,
-                    cfg.bloom_shard_bytes)
-                merge_fragments(self._bloom_state(), frags)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_emit = ex.submit(crawled_new.count)
+                f_frags = (
+                    ex.submit(collect_bloom_fragments,
+                              new_entries.select("url_canon"),
+                              cfg.n_bloom_shards, cfg.bloom_shard_bytes)
+                    if cfg.use_bloom else None)
+                n_emitted = f_emit.result()
+                if f_frags is not None:
+                    merge_fragments(self._bloom_state(), f_frags.result())
         with self._timed(wave, "commit"):
             self._commit(wave, crawled_new, links_new, ext_links, errors,
                          seen_new, part_metrics, frontier_next, roots,

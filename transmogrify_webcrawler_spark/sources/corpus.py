@@ -58,7 +58,7 @@ def _page_url(domain: str, i: int, rng: random.Random) -> str:
 
 
 def _html_page(rng, url_c, domain, i, n_pages, domains, oversize=False,
-               linkheavy=False):
+               linkheavy=False, body_words=30):
     links = []
     deg = rng.randint(2, 12) if not linkheavy else rng.randint(20, 40)
     parts = [
@@ -99,7 +99,8 @@ def _html_page(rng, url_c, domain, i, n_pages, domains, oversize=False,
         parts.append(f'<a href="http://{domain}/private/s{i}.html">secret</a>')
         parts.append(f'<a href="http://{domain}/a{i}.zip">zipfile</a>')
     # entities, \r\n runs, multi-whitespace (T5)
-    parts.append(f"<p>body &amp; entit&eacute;s\r\n\r\n  {_words(rng, 30)} </p>")
+    parts.append(
+        f"<p>body &amp; entit&eacute;s\r\n\r\n  {_words(rng, body_words)} </p>")
     if oversize:
         parts.append("<p>" + ("pad " * 40000) + "</p>")
     parts.append("</body></html>")
@@ -111,14 +112,72 @@ _JPG = b"\xff\xd8\xff\xe0" + b"\x00" * 32
 _TXT = b"plain text payload, not html at all\nline two\n"
 
 
+def _gen_domain(args):
+    """One domain's pages — independently seeded (random.Random((seed, d_i)))
+    so domains generate identically whether run serially or in a process
+    pool. warc_ts is deterministic per (d_i, i): distinct monotone capture
+    timestamps exercise 'latest capture wins' dedup on duplicate url_canons
+    (e.g. two i values -> the same /dN/ index page)."""
+    d_i, dom, n_pages, domains, seed, body_words = args
+    rng = random.Random(f"{seed}:{d_i}")
+    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    rows = []
+    for i in range(n_pages[dom]):
+        url = _page_url(dom, i, rng)
+        url_c = canonicalize(url)
+        kind = rng.random()
+        if i == 0:
+            kind = 1.0  # roots are always HTML hubs
+        if kind < 0.04:
+            html = _PDF
+        elif kind < 0.08:
+            html = _JPG
+        elif kind < 0.12:
+            html = _TXT
+        elif kind < 0.14:
+            html = _html_page(rng, url_c, dom, i, n_pages, domains,
+                              oversize=True, body_words=body_words)
+        elif kind < 0.20:
+            html = _html_page(rng, url_c, dom, i, n_pages, domains,
+                              linkheavy=True, body_words=body_words)
+        else:
+            html = _html_page(rng, url_c, dom, i, n_pages, domains,
+                              body_words=body_words)
+        text = extract_text(html, url_c) if html[:1] == b"<" else ""
+        rows.append(dict(
+            url=url,
+            warc_ts=ts0 + timedelta(minutes=d_i * 1_000_000 + i),
+            html=html,
+            text=text,
+            lang="en",
+        ))
+    # robots.txt rows live in the pages table (FIXTURES.md B.3)
+    if d_i == 1:
+        robots = b"User-agent: *\nDisallow: /d1/\nCrawl-delay: 2\n"
+    elif d_i == 2:
+        robots = b"User-agent: *\nDisallow: /\n"
+    elif d_i == 3:
+        robots = None  # no robots.txt -> allow-all
+    else:
+        robots = b"User-agent: *\nDisallow: /private/\n"
+    if robots is not None:
+        rows.append(dict(
+            url=f"http://{dom}/robots.txt", warc_ts=ts0, html=robots,
+            text="", lang="en",
+        ))
+    return d_i, rows
+
+
 def generate_corpus(n_domains: int = 8, total_pages: int = 400,
-                    seed: int = SEED, maxsize: int = 64 * 1024):
+                    seed: int = SEED, maxsize: int = 64 * 1024,
+                    body_words: int = 30, parallel: bool | None = None):
     """Returns (pages_rows, seeds, robots_map).
 
     pages_rows: list of dicts (url, warc_ts, html, text, lang) — the contract
-    shape. Deterministic for a given (n_domains, total_pages, seed).
-    """
-    rng = random.Random(seed)
+    shape. Deterministic for a given (n_domains, total_pages, seed,
+    body_words) regardless of `parallel` (per-domain independent RNG).
+    body_words scales page weight (30 -> ~4 KB; 2000 -> ~20 KB, closer to
+    real web pages, used by the bench corpus so extraction dominates)."""
     domains = [f"example{d}.com" for d in range(n_domains)]
     # host skew: domain 0 gets 60% of pages, rest Zipf-ish
     n_pages: dict[str, int] = {}
@@ -130,58 +189,19 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
     for k, d in enumerate(domains[1:]):
         n_pages[d] = max(int(remaining * weights[k] / wsum), 1)
 
-    ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    tasks = [(d_i, dom, n_pages, domains, seed, body_words)
+             for d_i, dom in enumerate(domains)]
+    if parallel is None:
+        parallel = total_pages >= 20_000
+    if parallel:
+        import concurrent.futures as cf
+        with cf.ProcessPoolExecutor(max_workers=min(16, len(tasks))) as ex:
+            results = list(ex.map(_gen_domain, tasks))
+    else:
+        results = [_gen_domain(t) for t in tasks]
     rows = []
-    row_i = 0
-    for d_i, dom in enumerate(domains):
-        for i in range(n_pages[dom]):
-            url = _page_url(dom, i, rng)
-            url_c = canonicalize(url)
-            kind = rng.random()
-            if i == 0:
-                kind = 1.0  # roots are always HTML hubs
-            if kind < 0.04:
-                html = _PDF
-            elif kind < 0.08:
-                html = _JPG
-            elif kind < 0.12:
-                html = _TXT
-            elif kind < 0.14:
-                html = _html_page(rng, url_c, dom, i, n_pages, domains,
-                                  oversize=True)
-            elif kind < 0.20:
-                html = _html_page(rng, url_c, dom, i, n_pages, domains,
-                                  linkheavy=True)
-            else:
-                html = _html_page(rng, url_c, dom, i, n_pages, domains)
-            text = extract_text(html, url_c) if html[:1] == b"<" else ""
-            rows.append(dict(
-                url=url,
-                # distinct, monotone capture timestamps: 'latest capture
-                # wins' dedup (Common-Crawl semantics) is exercised on the
-                # duplicate-url_canon rows (e.g. two i values -> same /dN/)
-                warc_ts=(ts0 + timedelta(minutes=row_i)).replace(tzinfo=None),
-                html=html,
-                text=text,
-                lang="en",
-            ))
-            row_i += 1
-        # robots.txt rows live in the pages table (FIXTURES.md B.3)
-        if d_i == 1:
-            robots = b"User-agent: *\nDisallow: /d1/\nCrawl-delay: 2\n"
-        elif d_i == 2:
-            robots = b"User-agent: *\nDisallow: /\n"
-        elif d_i == 3:
-            continue  # no robots.txt -> allow-all
-        else:
-            robots = b"User-agent: *\nDisallow: /private/\n"
-        rows.append(dict(
-            url=f"http://{dom}/robots.txt",
-            warc_ts=ts0.replace(tzinfo=None),
-            html=robots,
-            text="",
-            lang="en",
-        ))
+    for _d_i, dom_rows in sorted(results, key=lambda r: r[0]):
+        rows.extend(dom_rows)
 
     seeds = [f"http://{domains[0]}/", f"http://{domains[0]}/p/1.html"]
     if n_domains > 1:

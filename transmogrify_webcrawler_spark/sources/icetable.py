@@ -72,8 +72,11 @@ class SnapshotStore:
         }
         bucket_keys = bucket_keys or {}
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
         self.last_write_times: dict[str, float] = {}
-        for name, df in {**appends, **replaces}.items():
+
+        def _write(item):
+            name, df = item
             _t0 = _time.time()
             rel = os.path.join("data", name, f"wave={wave:06d}")
             out = os.path.join(self.root, rel)
@@ -82,11 +85,20 @@ class SnapshotStore:
             if key is not None and n_buckets > 0 and key in df.columns:
                 writer = df.repartition(n_buckets, key)
             writer.write.mode("overwrite").parquet(out)
+            self.last_write_times[name] = round(_time.time() - _t0, 3)
+            return name, rel
+
+        # all writes land before the manifest publishes, so they may run
+        # concurrently — Spark schedules jobs from multiple threads fine and
+        # per-job latency (not data volume) dominates small-wave commits
+        items = list({**appends, **replaces}.items())
+        with ThreadPoolExecutor(max_workers=max(len(items), 1)) as ex:
+            written = list(ex.map(_write, items))
+        for name, rel in written:
             if name in replaces:
                 tables[name] = [rel]
             else:
                 tables.setdefault(name, []).append(rel)
-            self.last_write_times[name] = round(_time.time() - _t0, 3)
         blob_paths = dict((self.current_manifest() or {}).get("blobs", {}))
         for name, payload in (blobs or {}).items():
             rel = os.path.join("data", "_blobs", f"{name}.wave{wave:06d}.bin")
