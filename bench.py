@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
+BODY_WORDS = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "30"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 BENCH_QUERIES = [
@@ -47,16 +48,18 @@ def build_spark(cpus: int):
     )
 
 
-def ensure_corpus(n_pages: int) -> str:
+def ensure_corpus(n_pages: int, body_words: int = 30) -> str:
     """Deterministic bench corpus, cached under BENCH/ (seed=42)."""
-    path = os.path.join(REPO, "BENCH", f"corpus_{n_pages}.parquet")
+    suffix = f"_{body_words}" if body_words != 30 else ""
+    path = os.path.join(REPO, "BENCH", f"corpus_{n_pages}{suffix}.parquet")
     if not os.path.exists(path):
         from transmogrify_webcrawler_spark.sources.corpus import (
             generate_corpus, write_parquet)
 
         n_domains = max(8, n_pages // 500)
         rows, seeds, _ = generate_corpus(n_domains=n_domains,
-                                         total_pages=n_pages)
+                                         total_pages=n_pages,
+                                         body_words=body_words)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         write_parquet(rows, path)
         with open(path + ".seeds.json", "w") as f:
@@ -64,7 +67,7 @@ def ensure_corpus(n_pages: int) -> str:
     return path
 
 
-def bench_crawl(spark, n_pages: int) -> dict:
+def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
     import shutil
     import tempfile
 
@@ -72,15 +75,19 @@ def bench_crawl(spark, n_pages: int) -> dict:
         SparkCrawlConfig, SparkCrawler)
     from transmogrify_webcrawler_spark.sources.corpus import DEFAULT_IGNORE
 
-    path = ensure_corpus(n_pages)
+    path = ensure_corpus(n_pages, body_words)
     with open(path + ".seeds.json") as f:
         seeds = json.load(f)
     pages = spark.read.parquet(path)
     store = tempfile.mkdtemp(prefix="bench_store_")
     cfg = SparkCrawlConfig(
-        wave_size=max(n_pages // 4, 1000), per_domain_budget=10**9,
-        maxsize=64 * 1024, ignore=DEFAULT_IGNORE, max_waves=50,
+        wave_size=int(os.environ.get("SPARK_GRAFT_WAVE_SIZE",
+                                     max(n_pages // 4, 1000))),
+        per_domain_budget=int(os.environ.get("SPARK_GRAFT_DOMAIN_BUDGET",
+                                             10**9)),
+        maxsize=512 * 1024, ignore=DEFAULT_IGNORE, max_waves=50,
         use_bloom=True, n_bloom_shards=32,
+        cache_corpus=os.environ.get("SPARK_GRAFT_CACHE", "full"),
     )
     crawler = SparkCrawler(spark, store, cfg)
     t0 = time.time()
@@ -95,8 +102,14 @@ def bench_crawl(spark, n_pages: int) -> dict:
         print("DEBUG steps:", dict(agg), file=sys.stderr)
     waves = crawler.store.current_wave() + 1
     shutil.rmtree(store, ignore_errors=True)
+    import collections
+    per_wave = collections.defaultdict(float)
+    for t in crawler.timings:
+        per_wave[t["wave"]] += t["sec"]
     return dict(crawl_sec=round(wall, 2), pages_crawled=n_crawled,
-                waves=waves, pages_per_sec=round(n_crawled / wall, 1))
+                waves=waves, pages_per_sec=round(n_crawled / wall, 1),
+                per_wave_sec={str(k): round(v, 2)
+                              for k, v in sorted(per_wave.items())})
 
 
 def bench_queries(spark) -> dict:
@@ -115,7 +128,14 @@ def bench_queries(spark) -> dict:
 def main():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    crawl = bench_crawl(spark, CRAWL_PAGES)
+    crawl = bench_crawl(spark, CRAWL_PAGES, BODY_WORDS)
+    if "--crawl-only" in sys.argv:
+        crawl.update(metric="pages_crawled_per_sec",
+                     value=crawl["pages_per_sec"], unit="pages/sec",
+                     cpus=CPUS)
+        print(json.dumps(crawl))
+        spark.stop()
+        return
     queries = bench_queries(spark)
     total = round(crawl["crawl_sec"] + sum(queries.values()), 2)
     queries["crawl"] = crawl["crawl_sec"]

@@ -1,0 +1,122 @@
+"""Unit tests for the training-data operators (dedup family, similarity,
+multimodal plumbing) against hand-computed expectations."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different words about spark and shuffles here"),
+        (5, "THE  quick   brown fox jumps over the lazy dog today"),  # ws/case
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_normalizes_ws_and_case(docs):
+    from transmogrify_webcrawler_spark.operators.textops import dedup_exact
+
+    out = {r["keep_doc_id"]: r["n_dupes"]
+           for r in dedup_exact(docs).collect()}
+    assert out[1] == 3  # docs 1, 2, 5 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from transmogrify_webcrawler_spark.operators.textops import (
+        ngram_jaccard_pairs)
+
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert 0.4 <= pairs[(1, 3)] < 1.0  # one word differs
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups_and_estimates(docs):
+    from transmogrify_webcrawler_spark.operators.textops import (
+        minhash_lsh_pairs)
+
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical signatures
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming_zero_for_identical(docs):
+    from transmogrify_webcrawler_spark.operators.textops import simhash_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0  # case/ws-insensitive tokens
+
+
+def test_lang_id_and_quality(docs):
+    from transmogrify_webcrawler_spark.operators.textops import (
+        lang_id, quality_score, token_count)
+
+    lang = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert lang[1] == "en"
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["n_words"] == 10
+    t = {r["doc_id"]: r["n_tokens_ws"] for r in token_count(docs).collect()}
+    assert t[5] == 10  # multi-space runs don't create tokens
+
+
+def test_brute_force_knn_self_similarity_excluded(spark):
+    from transmogrify_webcrawler_spark.operators.similarity import (
+        brute_force_knn)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = brute_force_knn(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
+    assert all(r["vec_id"] != 0 for r in out)
+
+
+def test_lsh_knn_recall_on_clustered_vectors(spark):
+    from transmogrify_webcrawler_spark.operators.similarity import (
+        brute_force_knn, lsh_knn)
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [b + rng.gauss(0, 0.05) for b in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in brute_force_knn(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in lsh_knn(emb, q, k=5, n_planes=6, dim=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # bucketed ANN trades recall for scale
+
+
+def test_multimodal_meta_stub_plumbing(spark):
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        extract_media_meta, frame_sample_plan)
+
+    media = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0" + b"x" * 10),      # jpeg magic
+         (2, b"ID3" + b"y" * 2000),                  # audio magic
+         (3, b"plain text payload")],
+        ["media_id", "payload"])
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[1]["mimetype"] == "image/jpeg" and meta[1]["width"] is not None
+    assert meta[2]["mimetype"] == "audio/mpeg" and meta[2]["duration_s"] > 0
+    assert meta[3]["mimetype"] == "text/plain" and meta[3]["feature"] is None
+    frames = frame_sample_plan(media, every_s=1.0).collect()
+    assert {r["media_id"] for r in frames} == {2}
+    assert len(frames) == int(meta[2]["duration_s"]) + 1

@@ -80,6 +80,12 @@ class SparkCrawlConfig:
     bloom_shard_bytes: int = 1 << 17
     n_buckets: int = 16  # bucket(registered_domain) for table layout
     arrow_batch: int = 2048  # html is fat: keep Arrow batches small
+    # corpus caching strategy: "full" persists the prepared corpus (right for
+    # corpora that fit executor storage); "skinny" persists only the dedup
+    # winners (url_canon, warc_ts, url) and re-scans the corpus parquet each
+    # wave — the 100 TB shape, where the fetch join is a fresh parallel scan
+    # (pure scalable work) and nothing body-sized is ever pinned in memory
+    cache_corpus: str = "full"
 
 
 def content_type_expr(mimetype):
@@ -159,6 +165,8 @@ class SparkCrawler:
             .select("url_canon", F.col("_w.warc_ts").alias("warc_ts"),
                     F.col("_w.url").alias("url"))
         )
+        if self.cfg.cache_corpus == "skinny":
+            winners = winners.persist()  # the only thing pinned: no bodies
         return canon.join(winners, ["url_canon", "warc_ts", "url"])
 
     def robots_table(self, pages_prepared: DataFrame) -> DataFrame:
@@ -438,7 +446,9 @@ class SparkCrawler:
     # -- full crawl ------------------------------------------------------------
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
         cfg = self.cfg
-        pages_prepared = self.prepare_pages(pages).persist()
+        pages_prepared = self.prepare_pages(pages)
+        if cfg.cache_corpus == "full":
+            pages_prepared = pages_prepared.persist()
         # robots is a tiny dim consulted every wave: materialize it once on
         # the driver instead of re-deriving from the corpus per wave
         robots_src = self.robots_table(pages_prepared)
