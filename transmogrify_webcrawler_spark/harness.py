@@ -571,6 +571,15 @@ def q_lsh_knn(spark, sf_dir):
     return lsh_knn(emb, q, k=5, n_planes=8, dim=64)
 
 
+def q_session_windows(spark, sf_dir):
+    """Gap-based session windows per user (streaming-capable builder run in
+    batch mode; session_window has no DuckDB analog -> rows-only)."""
+    from .streaming.windows import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return sessionize(_read(spark, sf_dir, "events"), gap="30 minutes")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: payloads synthesized from documents text plus
     magic-byte rows; decode kernel is a documented stub."""
@@ -626,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash,
         "lsh_knn": q_lsh_knn,
         "multimodal_meta": q_multimodal_meta,
+        "session_windows": q_session_windows,
     }
 
 

@@ -30,8 +30,25 @@ _PARAGRAPH_WORDS = (
 ).split()
 
 
+_BASE_WORDS: list[str] | None = None
+
+
 def _words(rng: random.Random, n: int) -> str:
-    return " ".join(rng.choice(_PARAGRAPH_WORDS) for _ in range(n))
+    """n pseudo-random words via a random slice of a fixed pre-shuffled base
+    sequence — one rng call per paragraph instead of one per word (heavy
+    corpora need 10^9 words). Deterministic given rng state."""
+    global _BASE_WORDS
+    if _BASE_WORDS is None:
+        r = random.Random("words-base")
+        _BASE_WORDS = [r.choice(_PARAGRAPH_WORDS) for _ in range(4096)]
+    start = rng.randrange(4096)
+    out: list[str] = []
+    while n > 0:
+        take = min(n, 4096 - start)
+        out.extend(_BASE_WORDS[start:start + take])
+        n -= take
+        start = 0
+    return " ".join(out)
 
 
 def _page_url(domain: str, i: int, rng: random.Random) -> str:
