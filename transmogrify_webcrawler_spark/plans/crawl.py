@@ -52,6 +52,9 @@ FRONTIER_SCHEMA = StructType([
     StructField("url_canon", StringType()),
     StructField("depth", IntegerType()),
     StructField("n_refs", LongType()),
+    # carried in the table so politeness never recomputes it and the
+    # materialized frontier buckets by it (O1: sorted, bucketed frontier)
+    StructField("registered_domain", StringType()),
 ])
 SEEN_SCHEMA = StructType([
     StructField("url_canon", StringType()),
@@ -183,14 +186,13 @@ class SparkCrawler:
     # -- bootstrap -----------------------------------------------------------
     def bootstrap(self, seeds: list[str]) -> None:
         """S5: seeds -> frontier snapshot v0, depth=0; seeds enter seen."""
+        from ..oracle.urlnorm import canonicalize as _canon
+        from ..oracle.urlnorm import registered_domain as _regdom
+
         spark = self.spark
-        seeds_c = sorted({s for s in (
-            spark.createDataFrame([(u,) for u in seeds], ["url"])
-            .select(canonicalize_udf("url").alias("url_canon"))
-            .toPandas()["url_canon"]
-        )})
+        seeds_c = sorted({_canon(u) for u in seeds})
         frontier = spark.createDataFrame(
-            [(u, 0, 0) for u in seeds_c], FRONTIER_SCHEMA
+            [(u, 0, 0, _regdom(u)) for u in seeds_c], FRONTIER_SCHEMA
         )
         seen = spark.createDataFrame([(u, -1) for u in seeds_c], SEEN_SCHEMA)
         self.store.commit_wave(
@@ -321,6 +323,7 @@ class SparkCrawler:
                         F.lit(2**31 - 1))).alias("depth"),
                 (F.col("f.n_refs") + F.coalesce(F.col("c.new_refs"),
                         F.lit(0))).alias("n_refs"),
+                F.col("f.registered_domain").alias("registered_domain"),
             )
         )
         seen = self.store.read(spark, "seen", SEEN_SCHEMA)
@@ -344,7 +347,8 @@ class SparkCrawler:
         else:
             new_entries = seen_anti_join(fresh_cand, seen)
         new_entries = new_entries.select(
-            "url_canon", "depth", F.col("new_refs").alias("n_refs")
+            "url_canon", "depth", F.col("new_refs").alias("n_refs"),
+            registered_domain_udf("url_canon").alias("registered_domain"),
         ).persist()  # consumed by frontier', seen', and the bloom update
 
         frontier_next = merged.unionByName(new_entries)
@@ -407,7 +411,9 @@ class SparkCrawler:
                 "seen": seen_new, "metrics": part_metrics,
             },
             replaces={"frontier": frontier_next},
-            bucket_keys={"crawled": "url_canon", "frontier": "url_canon"},
+            bucket_keys={"crawled": "url_canon",
+                         "frontier": "registered_domain"},
+            sort_keys={"frontier": ["depth", "url_canon"]},
             n_buckets=self.cfg.n_buckets,
             extra={"crawled_count": crawled_count, "roots": list(roots)},
             blobs=({"bloom": self._bloom_blob()}

@@ -251,9 +251,14 @@ def pages_index(rows):
     return {c: v for c, (_, v) in best.items()}
 
 
-def write_parquet(rows, path: str):
+def write_parquet(rows, path: str, row_group_size: int = 1024):
     """Write pages rows to one parquet file via pyarrow (Spark-free, so the
-    pytest oracle can build fixtures without a session)."""
+    pytest oracle can build fixtures without a session).
+
+    Small row groups matter: Spark parallelizes a single parquet file at row
+    group granularity — one multi-GB row group means one scan task no matter
+    how many cores (observed: a 3.6 GB single-group corpus pinned local[8]
+    at ~1 busy core)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -265,4 +270,4 @@ def write_parquet(rows, path: str):
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

@@ -62,6 +62,7 @@ class SnapshotStore:
         n_buckets: int = 0,
         extra: dict | None = None,
         blobs: dict[str, bytes] | None = None,
+        sort_keys: dict[str, list[str]] | None = None,
     ) -> dict:
         """Write every table's new data dir, then atomically publish the
         manifest. Data dirs written before the pointer flip are invisible to
@@ -84,6 +85,9 @@ class SnapshotStore:
             writer = df
             if key is not None and n_buckets > 0 and key in df.columns:
                 writer = df.repartition(n_buckets, key)
+            sk = (sort_keys or {}).get(name)
+            if sk:  # Iceberg sortedBy rendered as sortWithinPartitions
+                writer = writer.sortWithinPartitions(*sk)
             writer.write.mode("overwrite").parquet(out)
             self.last_write_times[name] = round(_time.time() - _t0, 3)
             return name, rel
