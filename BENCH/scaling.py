@@ -29,7 +29,11 @@ def run_at(cpus: int) -> dict:
                # work), only skinny winners cached; realistic politeness
                SPARK_GRAFT_CACHE="skinny",
                SPARK_GRAFT_WAVE_SIZE="100000",
-               SPARK_GRAFT_DOMAIN_BUDGET="5000")
+               SPARK_GRAFT_DOMAIN_BUDGET="5000",
+               # ~170 KB pages: 256-row Arrow batches keep per-worker
+               # extraction memory ~45 MB (2048 rows x 170 KB x 32 workers
+               # thrashes at high core counts)
+               SPARK_GRAFT_ARROW_BATCH="256")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
         env=env, capture_output=True, text=True, timeout=3600)

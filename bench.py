@@ -88,6 +88,7 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
         maxsize=512 * 1024, ignore=DEFAULT_IGNORE, max_waves=50,
         use_bloom=True, n_bloom_shards=32,
         cache_corpus=os.environ.get("SPARK_GRAFT_CACHE", "full"),
+        arrow_batch=int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048")),
     )
     crawler = SparkCrawler(spark, store, cfg)
     t0 = time.time()

@@ -342,6 +342,82 @@ FROM part
 """
 
 
+def q_url_to_path(spark, sf_dir):
+    """C3+T4: site-relative _path with isindex semantics; expected values
+    constructed in the oracle SQL."""
+    from .functions.udfs import url_to_path_udf
+
+    p = _read(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("http://shop.com/"),
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit("dir"), (F.col("p_partkey") % 7).cast("string"),
+                        F.lit("/")))
+        .otherwise(F.concat(F.lit("items/%7E"),
+                            F.col("p_partkey").cast("string"),
+                            F.lit(".html"))))
+    return p.select(
+        "p_partkey",
+        url_to_path_udf(url, F.lit("http://shop.com/")).alias("path"))
+
+
+SQL_URL_TO_PATH = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 3 = 0
+            THEN 'dir' || (p_partkey % 7) || '/index.html'
+            ELSE 'items/~' || p_partkey || '.html' END AS path
+FROM part
+"""
+
+
+def q_typerecognitor(spark, sf_dir):
+    """T2: the pinned MIME -> content-type map, generated from the oracle's
+    table (plans.crawl.content_type_expr); oracle SQL mirrors the map."""
+    from .plans.crawl import content_type_expr
+
+    p = _read(spark, sf_dir, "part")
+    mt = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("text/html"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("application/pdf"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("image/png"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit("text/plain"))
+        .otherwise(F.lit("application/zip")))
+    return p.select("p_partkey", mt.alias("mimetype"),
+                    content_type_expr(mt).alias("content_type"))
+
+
+SQL_TYPERECOGNITOR = """
+SELECT p_partkey,
+       CASE p_partkey % 5 WHEN 0 THEN 'text/html'
+            WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'image/png'
+            WHEN 3 THEN 'text/plain' ELSE 'application/zip' END AS mimetype,
+       CASE p_partkey % 5 WHEN 0 THEN 'Document'
+            WHEN 2 THEN 'Image' ELSE 'File' END AS content_type
+FROM part
+"""
+
+
+def q_robots_gate(spark, sf_dir):
+    """S6/J3: robots.txt gating via urllib.robotparser inside the pandas UDF;
+    rules chosen so expectations are SQL-constructible."""
+    from .functions.udfs import robots_allowed_udf
+
+    p = _read(spark, sf_dir, "part")
+    url = F.concat(F.lit("http://shop.com/"),
+                   F.when(F.col("p_partkey") % 2 == 0, F.lit("private/"))
+                   .otherwise(F.lit("public/")),
+                   F.col("p_partkey").cast("string"), F.lit(".html"))
+    robots = F.lit("User-agent: *\nDisallow: /private/\n")
+    return p.select(
+        "p_partkey",
+        robots_allowed_udf(robots, url, F.lit("bot")).alias("allowed"))
+
+
+SQL_ROBOTS_GATE = """
+SELECT p_partkey, (p_partkey % 2 <> 0) AS allowed FROM part
+"""
+
+
 # =============================================================================
 # training-data pipeline suite (documents / embeddings)
 # =============================================================================
@@ -621,6 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "url_canonicalize": q_url_canonicalize,
         "registered_domain": q_registered_domain,
+        "url_to_path": q_url_to_path,
+        "typerecognitor": q_typerecognitor,
+        "robots_gate": q_robots_gate,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
@@ -658,6 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "url_canonicalize": SQL_URL_CANON,
         "registered_domain": SQL_REG_DOMAIN,
+        "url_to_path": SQL_URL_TO_PATH,
+        "typerecognitor": SQL_TYPERECOGNITOR,
+        "robots_gate": SQL_ROBOTS_GATE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprint": SQL_FINGERPRINT,
         "lang_id": SQL_LANG_ID,
