@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+want (predicate pushdown, rank pushdown, top-k without full sort, partial
+aggregation, broadcast dims). A refactor that silently degrades one of these
+shapes fails here long before it shows up in a benchmark."""
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_maxsize_gate_filter_pushed_to_scan(spark):
+    from transmogrify_webcrawler_spark import harness
+
+    df = harness.q_maxsize_gate(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(n_chars,300)" in plan.replace(" ", "")
+    # column pruning: only the two selected columns reach the scan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_politeness_budget_uses_rank_pushdown(spark):
+    from transmogrify_webcrawler_spark.operators.frontier import (
+        politeness_budget, with_priority)
+    from transmogrify_webcrawler_spark.plans.crawl import FRONTIER_SCHEMA
+
+    fr = spark.createDataFrame(
+        [("http://a.com/x", 1, 3, "a.com")], FRONTIER_SCHEMA)
+    plan = _plan(politeness_budget(with_priority(fr), 10, 4))
+    assert "WindowGroupLimit" in plan  # rank filter pushed below the window
+
+
+def test_wave_topk_is_take_ordered_not_full_sort(spark):
+    from transmogrify_webcrawler_spark.operators.frontier import (
+        wave_topk, with_priority)
+    from transmogrify_webcrawler_spark.plans.crawl import FRONTIER_SCHEMA
+
+    fr = spark.createDataFrame(
+        [("http://a.com/x", 1, 3, "a.com")], FRONTIER_SCHEMA)
+    plan = _plan(wave_topk(with_priority(fr), 100))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_exact_has_partial_aggregation(spark):
+    from transmogrify_webcrawler_spark.operators.textops import dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_exact(docs))
+    # partial agg before the exchange (map-side combine), final after
+    pre_exchange = plan.split("Exchange")[0]
+    assert "HashAggregate" in pre_exchange
+    # the shuffle key is the md5 digest, never the document text
+    exchange_line = [ln for ln in plan.splitlines()
+                     if "hashpartitioning" in ln][0]
+    assert "fingerprint" in exchange_line and "text" not in exchange_line
+
+
+def test_robots_dim_is_broadcast(spark):
+    from transmogrify_webcrawler_spark import harness
+
+    df = harness.q_fetch_join(spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _plan(df)

@@ -184,7 +184,8 @@ class SparkCrawler:
         )
 
     # -- bootstrap -----------------------------------------------------------
-    def bootstrap(self, seeds: list[str]) -> None:
+    def bootstrap(self, seeds: list[str],
+                  robots_store: DataFrame | None = None) -> None:
         """S5: seeds -> frontier snapshot v0, depth=0; seeds enter seen."""
         from ..oracle.urlnorm import canonicalize as _canon
         from ..oracle.urlnorm import registered_domain as _regdom
@@ -195,8 +196,11 @@ class SparkCrawler:
             [(u, 0, 0, _regdom(u)) for u in seeds_c], FRONTIER_SCHEMA
         )
         seen = spark.createDataFrame([(u, -1) for u in seeds_c], SEEN_SCHEMA)
+        appends = {"seen": seen}
+        if robots_store is not None:
+            appends["robots"] = robots_store
         self.store.commit_wave(
-            -1, appends={"seen": seen}, replaces={"frontier": frontier},
+            -1, appends=appends, replaces={"frontier": frontier},
             extra={"crawled_count": 0, "roots": list(self.cfg.roots) or sorted(
                 {u.split("://", 1)[0] + "://" + u.split("://", 1)[1].split("/", 1)[0] + "/"
                  for u in seeds_c}
@@ -461,9 +465,17 @@ class SparkCrawler:
         robots_rows = robots_src.collect()
         robots = self.spark.createDataFrame(robots_rows, robots_src.schema) \
             if robots_rows else robots_src
+        # robots table persisted with parsed crawl-delay (FIXTURES.md B.3:
+        # "parsed, recorded"); the per-wave gate uses robots_txt directly
+        from ..oracle.robots import crawl_delay
+        robots_store = self.spark.createDataFrame(
+            [(r["registered_domain"], r["robots_txt"],
+              crawl_delay(r["robots_txt"], cfg.agent))
+             for r in robots_rows],
+            "registered_domain string, robots_txt string, crawl_delay double")
         manifest = self.store.current_manifest()
         if manifest is None:
-            self.bootstrap(seeds)
+            self.bootstrap(seeds, robots_store)
             manifest = self.store.current_manifest()
         roots = tuple(manifest["roots"])
         wave = manifest["wave"] + 1
