@@ -79,6 +79,16 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
     with open(path + ".seeds.json") as f:
         seeds = json.load(f)
     pages = spark.read.parquet(path)
+    seed_every = int(os.environ.get("SPARK_GRAFT_SEED_EVERY", "0"))
+    if seed_every:
+        # dense deterministic seed sample — shallow BFS (few waves), the
+        # realistic shape for huge frontiers where each wave is millions of
+        # URLs rather than a deep chain
+        from pyspark.sql import functions as F
+        extra = [r["url"] for r in pages.select("url").filter(
+            (F.pmod(F.xxhash64("url"), F.lit(seed_every)) == 0)
+            & ~F.col("url").endswith("robots.txt")).collect()]
+        seeds = sorted(set(seeds) | set(extra))
     store = tempfile.mkdtemp(prefix="bench_store_")
     cfg = SparkCrawlConfig(
         wave_size=int(os.environ.get("SPARK_GRAFT_WAVE_SIZE",
