@@ -96,9 +96,11 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
         per_domain_budget=int(os.environ.get("SPARK_GRAFT_DOMAIN_BUDGET",
                                              10**9)),
         maxsize=512 * 1024, ignore=DEFAULT_IGNORE, max_waves=50,
-        use_bloom=True, n_bloom_shards=32,
+        use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
+        n_bloom_shards=32,
         cache_corpus=os.environ.get("SPARK_GRAFT_CACHE", "full"),
         arrow_batch=int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048")),
+        fetch_mode=os.environ.get("SPARK_GRAFT_FETCH_MODE", "per-wave"),
     )
     crawler = SparkCrawler(spark, store, cfg)
     t0 = time.time()

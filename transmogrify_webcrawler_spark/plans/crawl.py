@@ -20,6 +20,7 @@ prefilter + anti-join (10^10-scale story in operators/dedup.py).
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -89,6 +90,17 @@ class SparkCrawlConfig:
     # wave — the 100 TB shape, where the fetch join is a fresh parallel scan
     # (pure scalable work) and nothing body-sized is ever pinned in memory
     cache_corpus: str = "full"
+    # fetch strategy:
+    # - "per-wave": join each wave's frontier against the raw corpus and
+    #   extract only that wave's pages. Lazy — right when the crawl will
+    #   visit a small fraction of the corpus.
+    # - "precompute": ONE extraction pass over the whole corpus up front
+    #   (embarrassingly parallel CPU) writing an extracted table; waves then
+    #   join against it with the fat text column COLUMN-PRUNED out of every
+    #   scan, and extracted_text is attached by a single join at finalize.
+    #   Right when the crawl visits most of the corpus (Common-Crawl-style):
+    #   per-wave work stops decoding terabytes of body bytes it won't emit.
+    fetch_mode: str = "per-wave"
 
 
 def content_type_expr(mimetype):
@@ -236,37 +248,58 @@ class SparkCrawler:
             robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
         ).drop("robots_txt")
         fetched = sel.join(pages_prepared, "url_canon", "left")
+        is_precomputed = "n_bytes" in pages_prepared.columns
+        body_len = (F.col("n_bytes") if is_precomputed
+                    else F.length("html"))
         fetched = fetched.withColumn(
             "status",
             F.when(~F.col("allowed"), F.lit("robots"))
-            .when(F.col("html").isNull(), F.lit("notfound"))
-            .when(F.length("html") > cfg.maxsize, F.lit("maxsize"))
+            .when(body_len.isNull(), F.lit("notfound"))
+            .when(body_len > cfg.maxsize, F.lit("maxsize"))
             .otherwise(F.lit("ok")),
         )
 
-        # --- extraction (the two Arrow boundaries) --------------------------
         is_ok = F.col("status") == "ok"
-        ok_html = F.when(is_ok, F.col("html"))  # null html for gated rows →
-        # the oracle functions return ''/[] — UDF never parses gated bytes
-        parsed = fetched.withColumn(
-            "mimetype", F.when(is_ok, sniff_mimetype_udf(ok_html, F.col("url_canon"))),
-        )
+        if is_precomputed:
+            # extraction already ran corpus-wide (fetch_mode="precompute");
+            # null out gated rows so downstream semantics match the lazy path
+            parsed = (
+                fetched
+                .withColumn("mimetype", F.when(is_ok, F.col("mimetype")))
+                .withColumn("links",
+                            F.coalesce(F.when(is_ok, F.col("links")),
+                                       F.array().cast("array<string>")))
+                .withColumn("extracted_text",
+                            F.when(is_ok, F.lit(None).cast("string")))
+                .withColumn("n_bytes",
+                            F.when(is_ok, F.col("n_bytes")).otherwise(0))
+                .persist()
+            )
+        else:
+            # --- extraction (the Arrow boundaries), lazy per-wave ------------
+            ok_html = F.when(is_ok, F.col("html"))  # null html for gated rows
+            # → the oracle functions return ''/[] — UDF never parses gated bytes
+            parsed = fetched.withColumn(
+                "mimetype",
+                F.when(is_ok, sniff_mimetype_udf(ok_html, F.col("url_canon"))),
+            )
+            is_html = is_ok & (F.col("mimetype") == "text/html")
+            html_in = F.when(is_html, F.col("html"))
+            parsed = (
+                parsed
+                .withColumn("extracted_text",
+                            F.when(is_ok,
+                                   F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
+                                              F.lit(""))))
+                .withColumn("links",
+                            F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+                                       F.array().cast("array<string>")))
+                .withColumn("n_bytes",
+                            F.when(is_ok, F.length("html")).otherwise(0))
+                .drop("html")
+                .persist()
+            )
         is_html = is_ok & (F.col("mimetype") == "text/html")
-        html_in = F.when(is_html, F.col("html"))
-        parsed = (
-            parsed
-            .withColumn("extracted_text",
-                        F.when(is_ok,
-                               F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
-                                          F.lit(""))))
-            .withColumn("links",
-                        F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
-                                   F.array().cast("array<string>")))
-            .withColumn("n_bytes",
-                        F.when(is_ok, F.length("html")).otherwise(0))
-            .drop("html")
-            .persist()
-        )
 
         errors = parsed.filter(~is_ok).select(
             "url_canon", F.lit(wave).alias("wave"),
@@ -424,6 +457,34 @@ class SparkCrawler:
                    if self.cfg.use_bloom else None),
         )
 
+    def _extracted_path(self) -> str:
+        return os.path.join(self.store.root, "data", "corpus_extracted")
+
+    def _precompute_extraction(self, pages_prepared: DataFrame) -> DataFrame:
+        """ONE extraction pass over the whole corpus -> corpus_extracted
+        parquet (url, warc_ts, url_canon, mimetype, n_bytes, links,
+        extracted_text). Idempotent (resume skips it). Returns the SLIM view
+        (text column dropped — parquet column pruning keeps body-sized bytes
+        out of every wave scan)."""
+        path = self._extracted_path()
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            mt = sniff_mimetype_udf("html", "url_canon")
+            ext = pages_prepared.withColumn("mimetype", mt)
+            is_html = F.col("mimetype") == "text/html"
+            html_in = F.when(is_html, F.col("html"))
+            ext = ext.select(
+                "url", "warc_ts", "url_canon", "mimetype",
+                F.length("html").alias("n_bytes"),
+                F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+                           F.array().cast("array<string>")).alias("links"),
+                F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
+                           F.lit("")).alias("extracted_text"),
+            )
+            ext.write.mode("overwrite").parquet(path)
+        # the slim view is small by design (no bodies, no text): pin it so
+        # every wave's fetch join probes memory, not parquet
+        return self.spark.read.parquet(path).drop("extracted_text").persist()
+
     def _bloom_state(self) -> dict:
         """Standing Bloom shard state: loaded from the last committed blob
         (resume), rebuilt from the seen table if the blob is missing, or
@@ -457,10 +518,9 @@ class SparkCrawler:
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
         cfg = self.cfg
         pages_prepared = self.prepare_pages(pages)
-        if cfg.cache_corpus == "full":
-            pages_prepared = pages_prepared.persist()
         # robots is a tiny dim consulted every wave: materialize it once on
-        # the driver instead of re-deriving from the corpus per wave
+        # the driver instead of re-deriving from the corpus per wave (must
+        # read the RAW prepared corpus — precompute drops the html column)
         robots_src = self.robots_table(pages_prepared)
         robots_rows = robots_src.collect()
         robots = self.spark.createDataFrame(robots_rows, robots_src.schema) \
@@ -473,6 +533,11 @@ class SparkCrawler:
               crawl_delay(r["robots_txt"], cfg.agent))
              for r in robots_rows],
             "registered_domain string, robots_txt string, crawl_delay double")
+        if cfg.fetch_mode == "precompute":
+            with self._timed(-1, "precompute_extraction"):
+                pages_prepared = self._precompute_extraction(pages_prepared)
+        elif cfg.cache_corpus == "full":
+            pages_prepared = pages_prepared.persist()
         manifest = self.store.current_manifest()
         if manifest is None:
             self.bootstrap(seeds, robots_store)
@@ -501,10 +566,22 @@ class SparkCrawler:
                         StructField("wave", IntegerType())]))
         backs = links.groupBy("dst").agg(
             F.sort_array(F.collect_set("src")).alias("backlinks"))
-        return (
+        out = (
             crawled.join(backs, crawled["url_canon"] == backs["dst"], "left")
             .drop("dst")
             .withColumn("backlinks",
                         F.coalesce("backlinks",
                                    F.array().cast("array<string>")))
         )
+        if self.cfg.fetch_mode == "precompute":
+            # attach deferred text in ONE join (the only time the fat
+            # extracted_text column is scanned after the precompute pass)
+            text = spark.read.parquet(self._extracted_path()).select(
+                "url_canon", F.col("extracted_text").alias("_text"))
+            # broadcast the slim crawled side so the fat text column streams
+            # map-side exactly once, never through a shuffle (crawled ⊆
+            # corpus, so inner ≡ left here)
+            out = (text.join(F.broadcast(out.drop("extracted_text")),
+                             "url_canon")
+                   .withColumnRenamed("_text", "extracted_text"))
+        return out
