@@ -26,7 +26,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "50000"))
-BODY_WORDS = int(os.environ.get("SPARK_GRAFT_SCALE_BODY_WORDS", "20000"))
+BODY_WORDS = int(os.environ.get("SPARK_GRAFT_SCALE_BODY_WORDS", "40000"))
+HOT_SHARE = os.environ.get("SPARK_GRAFT_SCALE_HOT", "0.2")
 
 
 def _BURN(n):
@@ -56,8 +57,14 @@ def run_at(cpus: int) -> dict:
                SPARK_GRAFT_CRAWL_PAGES=str(PAGES),
                SPARK_GRAFT_BODY_WORDS=str(BODY_WORDS),
                SPARK_GRAFT_CACHE="skinny",
-               SPARK_GRAFT_WAVE_SIZE="100000",
-               SPARK_GRAFT_DOMAIN_BUDGET="50000",
+               # precompute + no bloom: at 10^5 pages the bloom machinery is
+               # pure fixed cost (it exists for the 10^10 design point) and
+               # the precompute fetch is the honest huge-corpus shape
+               SPARK_GRAFT_FETCH_MODE="precompute",
+               SPARK_GRAFT_BLOOM="0",
+               SPARK_GRAFT_WAVE_SIZE="200000",
+               SPARK_GRAFT_DOMAIN_BUDGET="100000",
+               SPARK_GRAFT_HOT_SHARE=HOT_SHARE,
                SPARK_GRAFT_SEED_EVERY="25",
                SPARK_GRAFT_ARROW_BATCH="256")
     out = subprocess.run(
@@ -70,7 +77,7 @@ def run_at(cpus: int) -> dict:
 def main():
     sys.path.insert(0, REPO)
     import bench
-    bench.ensure_corpus(PAGES, BODY_WORDS)
+    bench.ensure_corpus(PAGES, BODY_WORDS, float(HOT_SHARE))
 
     results = {}
     for cpus in (2, 8, 32):

@@ -48,9 +48,12 @@ def build_spark(cpus: int):
     )
 
 
-def ensure_corpus(n_pages: int, body_words: int = 30) -> str:
+def ensure_corpus(n_pages: int, body_words: int = 30,
+                  hot_share: float = 0.6) -> str:
     """Deterministic bench corpus, cached under BENCH/ (seed=42)."""
     suffix = f"_{body_words}" if body_words != 30 else ""
+    if hot_share != 0.6:
+        suffix += f"_h{int(hot_share * 100)}"
     path = os.path.join(REPO, "BENCH", f"corpus_{n_pages}{suffix}.parquet")
     if not os.path.exists(path):
         from transmogrify_webcrawler_spark.sources.corpus import (
@@ -59,7 +62,8 @@ def ensure_corpus(n_pages: int, body_words: int = 30) -> str:
         n_domains = max(8, n_pages // 500)
         rows, seeds, _ = generate_corpus(n_domains=n_domains,
                                          total_pages=n_pages,
-                                         body_words=body_words)
+                                         body_words=body_words,
+                                         hot_share=hot_share)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         write_parquet(rows, path)
         with open(path + ".seeds.json", "w") as f:
@@ -75,7 +79,8 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
         SparkCrawlConfig, SparkCrawler)
     from transmogrify_webcrawler_spark.sources.corpus import DEFAULT_IGNORE
 
-    path = ensure_corpus(n_pages, body_words)
+    hot = float(os.environ.get("SPARK_GRAFT_HOT_SHARE", "0.6"))
+    path = ensure_corpus(n_pages, body_words, hot)
     with open(path + ".seeds.json") as f:
         seeds = json.load(f)
     pages = spark.read.parquet(path)

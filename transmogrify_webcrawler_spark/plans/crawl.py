@@ -337,8 +337,7 @@ class SparkCrawler:
         ignored_cond = F.lit(False)
         for pat in cfg.ignore:  # re.search semantics == rlike (pinned, F1)
             ignored_cond = ignored_cond | F.col("dst").rlike(pat)
-        with self._timed(wave, "ignored_count"):
-            n_ignored = scoped.filter(ignored_cond).count()
+        ignored = scoped.filter(ignored_cond)
         kept = scoped.filter(~ignored_cond).dropDuplicates(["src", "dst"])
         links_new = kept.select("src", "dst", F.lit(wave).alias("wave"))
 
@@ -407,7 +406,6 @@ class SparkCrawler:
                 F.sum("n_bytes").alias("bytes"),
             )
             .withColumn("wave", F.lit(wave))
-            .withColumn("skipped_ignore", F.lit(n_ignored))
         )
 
         # materialize the wave concurrently: emit-count and the bloom
@@ -416,16 +414,20 @@ class SparkCrawler:
 
         crawled_new = crawled_new.persist()
         with self._timed(wave, "extract_emit"):
-            with ThreadPoolExecutor(max_workers=2) as ex:
+            with ThreadPoolExecutor(max_workers=3) as ex:
                 f_emit = ex.submit(crawled_new.count)
+                f_ignored = ex.submit(ignored.count)
                 f_frags = (
                     ex.submit(collect_bloom_fragments,
                               new_entries.select("url_canon"),
                               cfg.n_bloom_shards, cfg.bloom_shard_bytes)
                     if cfg.use_bloom else None)
                 n_emitted = f_emit.result()
+                n_ignored = f_ignored.result()
                 if f_frags is not None:
                     merge_fragments(self._bloom_state(), f_frags.result())
+        part_metrics = part_metrics.withColumn("skipped_ignore",
+                                               F.lit(n_ignored))
         with self._timed(wave, "commit"):
             self._commit(wave, crawled_new, links_new, ext_links, errors,
                          seen_new, part_metrics, frontier_next, roots,

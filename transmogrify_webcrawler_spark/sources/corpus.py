@@ -187,7 +187,8 @@ def _gen_domain(args):
 
 def generate_corpus(n_domains: int = 8, total_pages: int = 400,
                     seed: int = SEED, maxsize: int = 64 * 1024,
-                    body_words: int = 30, parallel: bool | None = None):
+                    body_words: int = 30, parallel: bool | None = None,
+                    hot_share: float = 0.6):
     """Returns (pages_rows, seeds, robots_map).
 
     pages_rows: list of dicts (url, warc_ts, html, text, lang) — the contract
@@ -199,7 +200,7 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
     # host skew: domain 0 gets 60% of pages, rest Zipf-ish
     n_pages: dict[str, int] = {}
     remaining = total_pages
-    n_pages[domains[0]] = max(int(total_pages * 0.6), 1)
+    n_pages[domains[0]] = max(int(total_pages * hot_share), 1)
     remaining -= n_pages[domains[0]]
     weights = [1.0 / (k + 1) for k in range(1, n_domains)]
     wsum = sum(weights) or 1.0
