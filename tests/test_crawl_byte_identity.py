@@ -99,8 +99,7 @@ def test_metrics_match_oracle_totals(spark, spark_result, oracle_result):
          .groupBy("wave")
          .agg(*[F.sum(c).alias(c) for c in
                 ("fetched", "parsed", "skipped_robots", "skipped_maxsize",
-                 "skipped_notfound", "bytes")],
-              F.max("skipped_ignore").alias("skipped_ignore"))
+                 "skipped_notfound", "bytes", "skipped_ignore")])
          .collect())
     got = {r["wave"]: r.asDict() for r in m}
     for om in oracle_result["crawler"].metrics:

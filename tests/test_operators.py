@@ -104,6 +104,32 @@ def test_lsh_knn_recall_on_clustered_vectors(spark):
     assert recall >= 0.6, recall  # bucketed ANN trades recall for scale
 
 
+def test_lsh_knn_recall_at_dim_256(spark):
+    """Real-embedding-dim regression: the signature UDF is one matrix
+    multiply per Arrow batch (plan size O(1) in dim/planes — the Catalyst
+    literal-unrolled alternative blows up codegen at 768+ dims)."""
+    from transmogrify_webcrawler_spark.operators.similarity import (
+        brute_force_knn, lsh_knn)
+
+    import random
+    rng = random.Random(11)
+    dim = 256
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 2]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in brute_force_knn(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in lsh_knn(emb, q, k=5, n_planes=8, dim=dim).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
 def test_multimodal_meta_stub_plumbing(spark):
     from transmogrify_webcrawler_spark.operators.multimodal import (
         extract_media_meta, frame_sample_plan)

@@ -13,7 +13,7 @@ from transmogrify_webcrawler_spark.oracle import (
     sniff_mimetype,
 )
 from transmogrify_webcrawler_spark.operators.dedup import (
-    BLOOM_K, _hash2, _set_bits, _test_bits,
+    BLOOM_K, _set_bits, _test_bits,
 )
 
 _hostchars = st.text(alphabet=string.ascii_letters + string.digits + "-.",
@@ -51,15 +51,21 @@ def test_canonicalize_no_fragment_lower_scheme_host(u):
     assert host == host.lower()
 
 
-@given(st.lists(st.text(min_size=1, max_size=50), min_size=1, max_size=200,
-                unique=True))
-@settings(max_examples=50, deadline=None)
-def test_bloom_zero_false_negatives(values):
-    import pandas as pd
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 
+
+@given(st.lists(st.tuples(_i64, _i64), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bloom_zero_false_negatives(pairs):
+    # hashes arrive as Catalyst xxhash64 int64 columns; the invariant that
+    # matters is set(h)->test(h) can never miss for IDENTICAL hash inputs —
+    # and build/probe share the same Catalyst exprs by construction
+    # (operators/dedup.py with_bloom_hashes)
     bits = np.zeros(256, dtype=np.uint8)  # deliberately tiny: high fpp is
     # fine, false negatives never are
-    h1, h2 = _hash2(pd.Series(values))
+    h1 = np.array([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+    h2 = np.array([p[1] for p in pairs],
+                  dtype=np.int64).view(np.uint64) | np.uint64(1)
     _set_bits(bits, h1, h2)
     assert _test_bits(bits, h1, h2).all()
 

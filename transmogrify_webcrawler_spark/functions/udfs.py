@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, BooleanType, StringType
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, StringType, StructField, StructType,
+)
 
 from ..oracle.urlnorm import (
     canonicalize,
@@ -24,8 +26,10 @@ from ..oracle.urlnorm import (
     registered_domain,
     url_to_path,
 )
-from ..oracle.extract import extract_links, extract_text, sniff_mimetype
-from ..oracle.robots import robots_allowed
+from ..oracle.extract import (
+    extract_links, extract_page, extract_text, sniff_mimetype,
+)
+from ..oracle.robots import crawl_delay, robots_allowed
 
 
 @pandas_udf(StringType())
@@ -50,11 +54,14 @@ def registered_domain_udf(urls: pd.Series) -> pd.Series:
 
 
 @pandas_udf(ArrayType(StringType()))
-def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+def extract_links_udf(html: pd.Series, base_url: pd.Series,
+                      nonames: pd.Series) -> pd.Series:
     """T1: canonicalized link targets per page; explode downstream with
-    F.explode (the UDTF shape, SURVEY.md §2.10)."""
+    F.explode (the UDTF shape, SURVEY.md §2.10). nonames (F6, a lit column)
+    drops `<a name=…>` anchors when true."""
     return pd.Series(
-        [extract_links(h, b) for h, b in zip(html, base_url)], dtype=object
+        [extract_links(h, b, nonames=n)
+         for h, b, n in zip(html, base_url, nonames)], dtype=object
     )
 
 
@@ -64,6 +71,29 @@ def extract_text_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_text(h, b) for h, b in zip(html, base_url)], dtype=object
     )
+
+
+_PAGE_SCHEMA = StructType([
+    StructField("mimetype", StringType()),
+    StructField("links", ArrayType(StringType())),
+    StructField("text", StringType()),
+])
+
+
+@pandas_udf(_PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series, url: pd.Series,
+                     nonames: pd.Series) -> pd.DataFrame:
+    """C4+T1+T3+T5 fused: ONE Arrow transfer of the fat html column and ONE
+    parser pass yield (mimetype, links, text) — the hot-path extraction
+    (oracle.extract.extract_page). The separate single-purpose UDFs remain
+    for operators that need just one facet."""
+    mts, links, texts = [], [], []
+    for h, u, n in zip(html, url, nonames):
+        mt, lk, tx = extract_page(h, u, nonames=n)
+        mts.append(mt)
+        links.append(lk)
+        texts.append(tx)
+    return pd.DataFrame({"mimetype": mts, "links": links, "text": texts})
 
 
 @pandas_udf(StringType())
@@ -79,6 +109,15 @@ def url_to_path_udf(url_canon: pd.Series, site_url: pd.Series) -> pd.Series:
     """C3+T4: site-relative unquoted _path with isindex semantics."""
     return pd.Series(
         [url_to_path(u, s) for u, s in zip(url_canon, site_url)], dtype=object
+    )
+
+
+@pandas_udf(DoubleType())
+def crawl_delay_udf(robots_txt: pd.Series, agent: pd.Series) -> pd.Series:
+    """S6: parsed Crawl-delay per robots body (None when absent) — computed
+    distributed-side so the robots dim never has to visit the driver."""
+    return pd.Series(
+        [crawl_delay(r, a) for r, a in zip(robots_txt, agent)], dtype=object
     )
 
 

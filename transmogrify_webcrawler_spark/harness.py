@@ -74,10 +74,11 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 def q_bloom_seen_dedup(spark, sf_dir):
     """J1+A4: the REAL bloom path — seen = even orderkeys, candidates =
-    distinct lineitem orderkeys; bloom-shard prefilter + exact anti-join
-    backstop. The SQL oracle proves zero false negatives end-to-end."""
+    distinct lineitem orderkeys; distributed shard build, shard-routed
+    cogroup probe, exact anti-join backstop. NO driver state anywhere.
+    The SQL oracle proves zero false negatives end-to-end."""
     from .operators.dedup import (
-        bloom_maybe_seen, build_bloom_shards, seen_anti_join)
+        bloom_probe, build_bloom_shards, seen_anti_join)
 
     o = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
@@ -85,9 +86,9 @@ def q_bloom_seen_dedup(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("url_canon"))
     cand = li.select(
         F.col("l_orderkey").cast("string").alias("url_canon")).distinct()
-    shards_df = build_bloom_shards(seen, n_shards=8)
-    shards = [(r["shard_id"], r["filter_bytes"]) for r in shards_df.collect()]
-    flagged = bloom_maybe_seen(cand, shards, 8)
+    nbytes = 1 << 16
+    shards_df = build_bloom_shards(seen, n_shards=8, nbytes=nbytes)
+    flagged = bloom_probe(cand, shards_df, 8, nbytes)
     new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen") \
         .unionByName(seen_anti_join(
             flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"), seen))
@@ -168,6 +169,45 @@ SELECT user_id, event_id,
                           ORDER BY value DESC, event_id) AS rnk
 FROM events
 QUALIFY rnk <= 3
+"""
+
+
+def q_politeness_delay_budget(spark, sf_dir):
+    """A1 + Crawl-delay: the REAL politeness operator with a per-domain
+    budget dim (the robots crawl_delay rule). Domains = user_id; every 4th
+    domain carries a delay that caps its budget at 2 instead of 3. Runs
+    operators.frontier.politeness_budget end-to-end (salted two-phase +
+    budget-dim join)."""
+    from .operators.frontier import politeness_budget
+
+    e = _read(spark, sf_dir, "events")
+    frontier = e.select(
+        F.col("event_id").cast("string").alias("url_canon"),
+        F.col("user_id").cast("string").alias("registered_domain"),
+        F.col("value").alias("priority"),
+    )
+    budgets = (
+        e.select("user_id").distinct()
+        .filter(F.col("user_id") % 4 == 0)
+        .select(F.col("user_id").cast("string").alias("registered_domain"),
+                F.lit(2).alias("dom_budget"))
+    )
+    out = politeness_budget(frontier, per_domain_budget=3, n_salts=4,
+                            domain_budgets=F.broadcast(budgets))
+    return out.select(F.col("registered_domain").alias("user_id"),
+                      F.col("url_canon").alias("event_id"))
+
+
+SQL_POLITENESS_DELAY = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id::varchar) AS rnk
+  FROM events
+)
+SELECT user_id::varchar AS user_id, event_id::varchar AS event_id
+FROM ranked
+WHERE rnk <= CASE WHEN user_id % 4 = 0 THEN 2 ELSE 3 END
 """
 
 
@@ -553,6 +593,59 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """
 
 
+def q_minhash_verified(spark, sf_dir):
+    """MinHash-LSH recall, ORACLE-CHECKED: every exact near-dup pair
+    (word-3-gram Jaccard >= 0.95, SQL-computable) must surface as an LSH
+    band candidate. Output = exact pairs ∩ LSH candidates; the oracle is
+    the exact pairs alone — equality IS a 100%-recall assertion at the
+    matched threshold (16 bands x 4 rows: P(miss | J=0.95) ≈ 1e-13, and
+    J=1.0 pairs are found with certainty: identical signatures)."""
+    from .operators.textops import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, threshold=0.0)  # ALL band candidates
+    exact = ngram_jaccard_pairs(docs, threshold=0.95)
+    return exact.join(cand.select("a", "b"), ["a", "b"], "left_semi") \
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+SQL_MINHASH_VERIFIED = SQL_NGRAM_JACCARD.replace("0.2", "0.95")
+
+
+def q_simhash_verified(spark, sf_dir):
+    """SimHash recall, ORACLE-CHECKED: pairs with IDENTICAL normalized text
+    (SQL-computable via md5 fingerprint) must all be found by the banded
+    simhash join at hamming 0 (identical token multiset -> identical
+    signature; the 4x16-bit pigeonhole banding can never miss hamming-0).
+    Output = exact-dup pairs ∩ simhash hamming-0 pairs; oracle = the
+    exact-dup pairs alone."""
+    from .operators.textops import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+         .alias("fingerprint"))
+    dups = (fp.alias("x").join(fp.alias("y"), "fingerprint")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b")))
+    sh = simhash_pairs(docs, max_hamming=0).select("a", "b")
+    return dups.join(sh, ["a", "b"], "left_semi")
+
+
+SQL_SIMHASH_VERIFIED = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM fp x JOIN fp y USING (fingerprint)
+WHERE x.doc_id < y.doc_id
+"""
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries.
     Both sides compute in float64 over the same values."""
@@ -687,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backlink_collect": q_backlink_collect,
         "inlink_score": q_inlink_score,
         "politeness_topk": q_politeness_topk,
+        "politeness_delay_budget": q_politeness_delay_budget,
         "salted_agg": q_salted_agg,
         "priority_topk": q_priority_topk,
         "sortorder_window": q_sortorder_window,
@@ -706,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_verified": q_minhash_verified,
+        "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "embedding_norm": q_embedding_norm,
         # rows-only below
@@ -727,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "backlink_collect": SQL_BACKLINK,
         "inlink_score": SQL_INLINK,
         "politeness_topk": SQL_POLITENESS,
+        "politeness_delay_budget": SQL_POLITENESS_DELAY,
         "salted_agg": SQL_SALTED,
         "priority_topk": SQL_PRIORITY_TOPK,
         "sortorder_window": SQL_SORTORDER,
@@ -746,6 +843,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_verified": SQL_MINHASH_VERIFIED,
+        "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
         "embedding_norm": SQL_EMB_NORM,
     }

@@ -4,30 +4,39 @@
 Upstream [UP webchecker.py Checker.newlink]: ``if url in self.done or url in
 self.todo`` — an exact in-RAM dict, O(n) memory, single process. At a 10^10-URL
 frontier an exact distributed anti-join shuffles every candidate against every
-seen URL. The scale fix: candidates are first probed against a broadcast of
-SHARDED Bloom filters (shard = pmod(xxhash64(url), n_shards), so each value is
-checked against exactly one shard's bits); only probable-positives proceed to
-the exact ``left_anti`` join that kills false positives. Bloom says
+seen URL. The scale fix: candidates are first probed against SHARDED Bloom
+filters (shard = pmod(xxhash64(url), n_shards)); only probable-positives
+proceed to the exact ``left_anti`` join that kills false positives. Bloom says
 "definitely new" for the overwhelming majority of candidates (crawl frontiers
 are mostly-new), so the exact join's build side shrinks by ~1/fpp.
 
-Sizing at the design point (BASELINE.md "design scale point"): 10 bits/URL
-gives fpp ~= 1%% with k=7; 10^10 URLs -> 12.5 GB total, sharded into
-n_shards = 1024 -> ~12 MB/shard; executors broadcast-receive the full shard
-set once per wave (torrent broadcast), probe cost is hash-only. Shard build is
-embarrassingly parallel per partition; merge is a bitwise-OR tree
-(groupBy(shard).applyInPandas), the DataFrame rendering of treeAggregate.
+State lives DISTRIBUTED, never on the driver:
 
-Zero false negatives by construction (property-tested): a URL inserted sets
-exactly the bits probed later — the exact anti-join only ever sees fewer
-candidates, never loses one.
+- the shard set is a snapshot TABLE (SHARD_SCHEMA rows; fragments appended
+  per wave, OR-compacted periodically) — at the design point (1024 shards x
+  ~12 MiB = 12.5 GB for 10^10 URLs at 10 bits/key) no single process ever
+  holds it;
+- the probe is a SHARD-ROUTED cogroup: candidates are shuffled by shard id
+  (skinny columns only) and meet exactly the fragments of their own shard —
+  each task ORs one shard's fragments and tests its candidates, so an
+  executor only ever materializes the shards its candidates hash to;
+- fragment build is mapInPandas over new URLs repartitioned by shard id —
+  per-wave cost O(|new this wave|), never a seen-set rescan; the OR-merge
+  (groupBy(shard_id).applyInPandas) is the DataFrame form of treeAggregate.
+
+Hashing is JVM-side: h1 = xxhash64(url), h2 = xxhash64(1, url) | 1 are
+Catalyst columns (whole-stage codegen); Python only does vectorized numpy bit
+ops on int64 arrays (double-hashing h_i = h1 + i*h2). Zero false negatives by
+construction (property-tested): build and probe derive bits from the SAME
+Catalyst hash exprs, so an inserted URL always tests positive — the exact
+anti-join only ever sees fewer candidates, never loses one.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
@@ -35,19 +44,28 @@ from pyspark.sql.types import (
 
 BLOOM_K = 7  # number of hash probes (optimal for ~10 bits/key)
 
+SHARD_SCHEMA = StructType([
+    StructField("shard_id", IntegerType()),
+    StructField("filter_bytes", BinaryType()),
+    StructField("n_items", LongType()),
+])
 
-def _hash2(values: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per value (double-hashing scheme
-    h_i = h1 + i*h2). Vectorized via pandas str->bytes + numpy frombuffer
-    over blake2b digests; per-batch Python, never per-row Spark."""
-    import hashlib
 
-    h1 = np.empty(len(values), dtype=np.uint64)
-    h2 = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little") | 1  # odd -> full cycle
+def with_bloom_hashes(df: DataFrame, n_shards: int,
+                      col: str = "url_canon") -> DataFrame:
+    """JVM-side double-hash + shard routing: one source of truth for build
+    AND probe (the zero-false-negative invariant hangs on this)."""
+    h1 = F.xxhash64(col)
+    return (df.withColumn("_h1", h1)
+              .withColumn("_h2", F.xxhash64(F.lit(1), F.col(col)))
+              .withColumn("_sid", F.pmod(h1, F.lit(n_shards)).cast("int")))
+
+
+def _np_hashes(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """int64 Catalyst hashes -> uint64 (two's-complement view, exact);
+    h2 forced odd for a full double-hashing cycle."""
+    h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+    h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
     return h1, h2
 
 
@@ -69,38 +87,19 @@ def _test_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return out
 
 
-SHARD_SCHEMA = StructType([
-    StructField("shard_id", IntegerType()),
-    StructField("filter_bytes", BinaryType()),
-    StructField("n_items", LongType()),
-])
-
-
-def build_bloom_shards(
-    seen: DataFrame, n_shards: int, bits_per_key: int = 10,
-    expected_per_shard: int | None = None, nbytes: int | None = None,
-) -> DataFrame:
-    """A4: per-partition shard fragments built in mapInPandas, merged with a
-    bitwise-OR groupBy(shard_id).applyInPandas — the DataFrame form of
-    treeAggregate(OR). Returns SHARD_SCHEMA rows (one per shard).
-
-    Pass ``nbytes`` for a FIXED shard size (required when fragments from
-    different waves are OR-merged incrementally — sizes must agree)."""
-    if nbytes is None:
-        n = seen.count()
-        per_shard = expected_per_shard or max(n // max(n_shards, 1), 1024)
-        nbytes = max((per_shard * bits_per_key + 7) // 8, 64)
-
-    shard_col = F.pmod(F.xxhash64("url_canon"), F.lit(n_shards)).cast("int")
-    with_shard = seen.select(
-        F.col("url_canon"), shard_col.alias("shard_id")
-    ).repartition(n_shards, "shard_id")
+def build_bloom_fragments(urls: DataFrame, n_shards: int, nbytes: int,
+                          col: str = "url_canon") -> DataFrame:
+    """One fixed-size fragment row per touched shard, built distributed.
+    Repartition by shard id first (skinny shuffle: sid + two int64s) so the
+    output is <= n_shards rows per call regardless of input partitioning."""
+    hashed = with_bloom_hashes(urls.select(col), n_shards, col) \
+        .select("_sid", "_h1", "_h2").repartition(n_shards, "_sid")
 
     def build(pdfs):
         for pdf in pdfs:
-            for sid, grp in pdf.groupby("shard_id"):
+            for sid, grp in pdf.groupby("_sid"):
                 bits = np.zeros(nbytes, dtype=np.uint8)
-                h1, h2 = _hash2(grp["url_canon"])
+                h1, h2 = _np_hashes(grp)
                 _set_bits(bits, h1, h2)
                 yield pd.DataFrame({
                     "shard_id": [int(sid)],
@@ -108,12 +107,19 @@ def build_bloom_shards(
                     "n_items": [len(grp)],
                 })
 
-    fragments = with_shard.mapInPandas(build, SHARD_SCHEMA)
+    return hashed.mapInPandas(build, SHARD_SCHEMA)
+
+
+def merge_bloom_fragments(fragments: DataFrame, nbytes: int) -> DataFrame:
+    """Compaction: OR all fragments of a shard into one row —
+    groupBy(shard_id).applyInPandas, the DataFrame treeAggregate(OR)."""
 
     def merge(key, pdf):
         acc = np.zeros(nbytes, dtype=np.uint8)
         for b in pdf["filter_bytes"]:
-            acc |= np.frombuffer(b, dtype=np.uint8)
+            frag = np.frombuffer(b, dtype=np.uint8)
+            if frag.size == acc.size:  # size-mismatched fragments are stale
+                acc |= frag            # config state — rebuilt by the caller
         return pd.DataFrame({
             "shard_id": [key[0]],
             "filter_bytes": [acc.tobytes()],
@@ -123,89 +129,49 @@ def build_bloom_shards(
     return fragments.groupBy("shard_id").applyInPandas(merge, SHARD_SCHEMA)
 
 
-def bloom_maybe_seen(
-    candidates: DataFrame, shards: list[tuple[int, bytes]], n_shards: int,
-    col: str = "url_canon",
-) -> DataFrame:
-    """Probe candidates against the broadcast shard set; adds boolean
-    `_maybe_seen`. shards: collected [(shard_id, filter_bytes)] — broadcast
-    once per wave via SparkContext.broadcast."""
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(
-        {int(sid): np.frombuffer(b, dtype=np.uint8) for sid, b in shards}
-    )
-
-    @F.pandas_udf(BooleanType())
-    def probe(urls: pd.Series, sids: pd.Series) -> pd.Series:
-        table = bc.value
-        out = np.zeros(len(urls), dtype=bool)
-        if not table or len(urls) == 0:
-            return pd.Series(out)
-        h1, h2 = _hash2(urls)
-        sid_arr = sids.to_numpy()
-        # probe shard-by-shard so each shard's bit array is touched once,
-        # vectorized over all rows routed to it
-        for sid in np.unique(sid_arr):
-            bits = table.get(int(sid))
-            if bits is None:
-                continue  # no shard -> nothing seen there -> stays False
-            mask = sid_arr == sid
-            out[mask] = _test_bits(bits, h1[mask], h2[mask])
-        return pd.Series(out)
-
-    # shard routing computed Catalyst-side with the SAME xxhash64 the build
-    # used — the one source of truth for shard assignment
-    shard_col = F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
-    return candidates.withColumn(
-        "_maybe_seen", probe(F.col(col), shard_col)
-    )
+def build_bloom_shards(seen: DataFrame, n_shards: int,
+                       nbytes: int | None = None, bits_per_key: int = 10,
+                       col: str = "url_canon") -> DataFrame:
+    """A4 full (re)build: fragments + compaction in one plan. Used at
+    bootstrap-from-existing-seen and when resume finds the shard table's
+    parameters diverged from the config (the blob-validation rule)."""
+    if nbytes is None:
+        n = seen.count()
+        per_shard = max(n // max(n_shards, 1), 1024)
+        nbytes = max((per_shard * bits_per_key + 7) // 8, 64)
+    return merge_bloom_fragments(
+        build_bloom_fragments(seen, n_shards, nbytes, col), nbytes)
 
 
-def collect_bloom_fragments(new_urls: DataFrame, n_shards: int,
-                            nbytes: int) -> dict[int, "np.ndarray"]:
-    """Incremental path: build fixed-size shard fragments from ONLY the
-    newly-seen URLs and collect them to the driver, where the crawler
-    OR-merges them into its standing shard state (A4 at 10^10 scale: per-wave
-    work is O(|new|), never a rescan of the full seen set).
+def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int,
+                nbytes: int, col: str = "url_canon") -> DataFrame:
+    """Shard-routed probe: cogroup(candidates by shard id, fragments by
+    shard id) — each task receives one shard's candidate rows AND exactly
+    that shard's fragments, ORs the fragments, tests vectorized. Adds
+    boolean ``_maybe_seen``. A shard with no fragments (or none at all, the
+    bootstrap wave) probes everything 'definitely new'."""
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("_maybe_seen", BooleanType())])
+    cand_cols = [f.name for f in candidates.schema.fields]
+    hashed = with_bloom_hashes(candidates, n_shards, col)
 
-    The merge runs driver-side (no groupBy shuffle): fragments are
-    (n_partitions x n_shards) rows of nbytes each — tiny next to the data
-    that produced them."""
-    shard_col = F.pmod(F.xxhash64("url_canon"), F.lit(n_shards)).cast("int")
-    with_shard = new_urls.select(F.col("url_canon"),
-                                 shard_col.alias("shard_id"))
+    def probe(key, cdf, sdf):
+        flags = np.zeros(len(cdf), dtype=bool)
+        if len(sdf):
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for b in sdf["filter_bytes"]:
+                frag = np.frombuffer(b, dtype=np.uint8)
+                if frag.size == acc.size:
+                    acc |= frag
+            h1, h2 = _np_hashes(cdf)
+            flags = _test_bits(acc, h1, h2)
+        out = cdf[cand_cols].copy()
+        out["_maybe_seen"] = flags
+        return out
 
-    def build(pdfs):
-        for pdf in pdfs:
-            for sid, grp in pdf.groupby("shard_id"):
-                bits = np.zeros(nbytes, dtype=np.uint8)
-                h1, h2 = _hash2(grp["url_canon"])
-                _set_bits(bits, h1, h2)
-                yield pd.DataFrame({
-                    "shard_id": [int(sid)],
-                    "filter_bytes": [bits.tobytes()],
-                    "n_items": [len(grp)],
-                })
-
-    out: dict[int, np.ndarray] = {}
-    for r in with_shard.mapInPandas(build, SHARD_SCHEMA).collect():
-        sid = int(r["shard_id"])
-        bits = np.frombuffer(r["filter_bytes"], dtype=np.uint8)
-        if sid in out:
-            out[sid] = out[sid] | bits
-        else:
-            out[sid] = bits.copy()
-    return out
-
-
-def merge_fragments(state: dict[int, "np.ndarray"],
-                    frags: dict[int, "np.ndarray"]) -> None:
-    for sid, bits in frags.items():
-        cur = state.get(sid)
-        if cur is None:
-            state[sid] = bits.copy()
-        else:
-            cur |= bits
+    return hashed.groupBy("_sid").cogroup(
+        shards.groupBy("shard_id")).applyInPandas(probe, out_schema)
 
 
 def seen_anti_join(candidates: DataFrame, seen: DataFrame,

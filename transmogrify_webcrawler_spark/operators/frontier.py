@@ -41,7 +41,8 @@ def with_priority(frontier: DataFrame) -> DataFrame:
 
 
 def politeness_budget(
-    frontier: DataFrame, per_domain_budget: int, n_salts: int = 8
+    frontier: DataFrame, per_domain_budget: int, n_salts: int = 8,
+    domain_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """A1: keep the per-domain top-`budget` URLs by (priority, url_canon),
     salted two-phase to defeat host skew [BASELINE.json north_rule].
@@ -50,27 +51,41 @@ def politeness_budget(
     per-domain winner survives (a per-domain top-budget row is top-budget
     within its salt a fortiori). Phase B computes the exact answer on the
     reduced set. Deterministic: all ranks tie-break on url_canon.
+
+    domain_budgets (registered_domain, dom_budget) optionally LOWERS the
+    budget per domain (the robots Crawl-delay rule, oracle/crawler.py
+    _domain_budget); absent domains use per_domain_budget. The caller wraps
+    it in F.broadcast() under its own size guard (one row per delay-bearing
+    domain — a strict subset of the robots dim, but still a join key at web
+    scale, so the hint is the caller's call).
     """
     df = frontier
     if "registered_domain" not in df.columns:
         df = df.withColumn(
             "registered_domain", registered_domain_udf("url_canon")
         )
+    if domain_budgets is not None:
+        df = df.join(domain_budgets, "registered_domain", "left")
+        budget_col = F.coalesce(F.col("dom_budget"),
+                                F.lit(per_domain_budget))
+    else:
+        budget_col = F.lit(per_domain_budget)
     salt = F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))
     w_salt = Window.partitionBy(F.col("registered_domain"), salt) \
         .orderBy("priority", "url_canon")
     phase_a = (
         df.withColumn("_r", F.row_number().over(w_salt))
-        .filter(F.col("_r") <= per_domain_budget)
+        .filter(F.col("_r") <= budget_col)
         .drop("_r")
     )
     w_dom = Window.partitionBy("registered_domain") \
         .orderBy("priority", "url_canon")
-    return (
+    out = (
         phase_a.withColumn("_r", F.row_number().over(w_dom))
-        .filter(F.col("_r") <= per_domain_budget)
+        .filter(F.col("_r") <= budget_col)
         .drop("_r")
     )
+    return out.drop("dom_budget") if domain_budgets is not None else out
 
 
 def wave_topk(frontier: DataFrame, wave_size: int) -> DataFrame:

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,34 +68,34 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """ANN: sign-random-projection bucket join, exact cosine re-rank within
     the bucket. Bucket key = packed sign bits against n_planes hyperplanes."""
-    spark = emb.sparkSession
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
 
-    def sig_expr(vec):
-        bits = []
-        for p_i, p in enumerate(planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in p]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    # signature = one (batch x dim) @ (dim x n_planes) matrix multiply per
+    # Arrow batch, sign bits packed into an int64. A Catalyst rendering
+    # (n_planes x dim literal exprs) blows up codegen at real embedding
+    # dims (768+); the UDF is O(1) plan size at any dim/plane count.
+    # Hyperplanes are regenerated deterministically inside the UDF (seeded),
+    # so executors agree without shipping the matrix.
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        planes = _hyperplanes(dim, n_planes)  # (n_planes, dim), seeded
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(vecs.to_numpy())           # (batch, dim)
+        signs = mat @ planes.T >= 0               # (batch, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs @ weights)
 
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("embedding"),
-                   sig_expr(F.col(vec_col)).alias("bucket"))
+                   sig_udf(F.col(vec_col)).alias("bucket"))
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        F.col(q_vec_col).alias("q_vec"),
-                       sig_expr(F.col(q_vec_col)).alias("bucket"))
+                       sig_udf(F.col(q_vec_col)).alias("bucket"))
     joined = e.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("q_id"))
     scored = with_cosine(joined, "embedding", "q_vec")

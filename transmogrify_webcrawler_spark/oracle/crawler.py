@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 
 from .urlnorm import canonicalize, registered_domain, url_to_path, is_index_url
 from .extract import extract_links, extract_text, sniff_mimetype, recognize_type
-from .robots import robots_allowed
+from .robots import crawl_delay, robots_allowed
 
 DEFAULT_AGENT = "transmogrify-webcrawler-spark/0.1"
 
@@ -47,6 +47,11 @@ class CrawlConfig:
     ignore: tuple[str, ...] = ()
     roots: tuple[str, ...] = ()  # default: derived from seeds (scheme://host/)
     agent: str = DEFAULT_AGENT
+    nonames: bool = False  # F6 [UP webchecker -n]: drop <a name=…> anchors
+    # politeness window a wave notionally spans: a domain whose robots.txt
+    # sets Crawl-delay d gets per-wave budget min(per_domain_budget,
+    # max(1, int(wave_seconds // d))) — the pinned crawl-delay rule
+    wave_seconds: float = 30.0
 
 
 @dataclass
@@ -100,19 +105,29 @@ class OracleCrawler:
     def _priority(self, e: _FrontierEntry) -> float:
         return e.depth * 1000.0 - float(min(len(e.referrers), 999))
 
+    def _domain_budget(self, dom: str) -> int:
+        """Per-domain wave budget honoring robots Crawl-delay (pinned rule:
+        a wave spans cfg.wave_seconds; delay d caps fetches at
+        wave_seconds // d, floor 1 so delay-heavy hosts still progress)."""
+        d = crawl_delay(self.robots.get(dom), self.cfg.agent)
+        if d is None or d <= 0:
+            return self.cfg.per_domain_budget
+        return min(self.cfg.per_domain_budget,
+                   max(1, int(self.cfg.wave_seconds // d)))
+
     def select_wave(self) -> list[tuple[str, float, int]]:
         """Returns [(url_canon, priority, depth)] — the wave's fetch set."""
         entries = [
             (u, self._priority(e), e.depth) for u, e in self.frontier.items()
         ]
-        # per-domain politeness budget
+        # per-domain politeness budget (crawl_delay-aware)
         by_dom: dict[str, list] = {}
         for u, p, d in entries:
             by_dom.setdefault(registered_domain(u), []).append((p, u, d))
         kept = []
         for dom, lst in by_dom.items():
             lst.sort()
-            kept.extend(lst[: self.cfg.per_domain_budget])
+            kept.extend(lst[: self._domain_budget(dom)])
         kept.sort()
         budget = min(self.cfg.wave_size, self.cfg.max_pages - len(self.crawled))
         return [(u, p, d) for p, u, d in kept[: max(budget, 0)]]
@@ -150,7 +165,8 @@ class OracleCrawler:
             if mimetype == "text/html":
                 m["parsed"] += 1
                 text = extract_text(html, url)
-                for link in extract_links(html, url):
+                for link in extract_links(html, url,
+                                          nonames=self.cfg.nonames):
                     if not self._in_roots(link):
                         self.ext_links.append(dict(src=url, dst=link))
                         m["ext_links"] += 1

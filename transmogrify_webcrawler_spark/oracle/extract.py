@@ -72,6 +72,14 @@ class _Extractor(HTMLParser):
                 u = join_and_canonicalize(self.base, v)
                 if u:
                     self.links.append(u)
+            elif tag == "a" and not self.nonames and d.get("name"):
+                # F6 [UP webchecker -n]: name anchors are collected by
+                # default (pinned as a self-link — canonicalize defrags, so
+                # `<a name=x>` resolves to the page's own canonical URL);
+                # nonames=True drops them.
+                u = join_and_canonicalize(self.base, "#" + d["name"])
+                if u:
+                    self.links.append(u)
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -93,8 +101,8 @@ def _decode(html: bytes) -> str:
     return html.decode("utf-8", errors="replace")
 
 
-def _parse(html: bytes, base_url: str) -> _Extractor:
-    p = _Extractor(base_url)
+def _parse(html: bytes, base_url: str, nonames: bool = False) -> _Extractor:
+    p = _Extractor(base_url, nonames=nonames)
     try:
         p.feed(_decode(html))
         p.close()
@@ -103,12 +111,13 @@ def _parse(html: bytes, base_url: str) -> _Extractor:
     return p
 
 
-def extract_links(html: bytes, base_url: str) -> list[str]:
+def extract_links(html: bytes, base_url: str,
+                  nonames: bool = False) -> list[str]:
     """T1: ordered list of canonicalized absolute link targets (dupes kept —
-    dedup is the engine's job, J1/J5)."""
+    dedup is the engine's job, J1/J5). nonames=True drops name anchors (F6)."""
     if html is None:
         return []
-    return _parse(html, base_url).links
+    return _parse(html, base_url, nonames=nonames).links
 
 
 def extract_text(html: bytes, base_url: str = "") -> str:
@@ -118,6 +127,24 @@ def extract_text(html: bytes, base_url: str = "") -> str:
         return ""
     chunks = _parse(html, base_url).chunks
     return " ".join("".join(chunks).split())
+
+
+def extract_page(html: bytes, url: str,
+                 nonames: bool = False) -> tuple[str, list[str], str]:
+    """One-pass page extraction: (mimetype, links, text) from a SINGLE parse
+    — the oracle crawler's exact per-page flow (sniff, then parse only
+    text/html; non-HTML emits links=[] text=''). The hot path's UDF calls
+    this so the fat html bytes cross the Arrow boundary once and the parser
+    runs once per page, instead of sniff/links/text each re-shipping and
+    re-parsing. Byte-identity holds by construction: _parse collects links
+    and text chunks in the same pass the separate functions use."""
+    if html is None:
+        return None, [], ""
+    mt = sniff_mimetype(html, url)
+    if mt != "text/html":
+        return mt, [], ""
+    p = _parse(html, url, nonames=nonames)
+    return mt, p.links, " ".join("".join(p.chunks).split())
 
 
 # --- mimetype sniffing (C4) -------------------------------------------------

@@ -10,11 +10,13 @@ from __future__ import annotations
 
 from urllib.robotparser import RobotFileParser
 
-_CACHE: dict[int, RobotFileParser] = {}
+# keyed by the robots body itself — dict equality, no hash-collision risk;
+# memory bounded by the 4096-entry clear below
+_CACHE: dict[str, RobotFileParser] = {}
 
 
 def _parser_for(robots_txt: str) -> RobotFileParser:
-    key = hash(robots_txt)
+    key = robots_txt
     rp = _CACHE.get(key)
     if rp is None:
         rp = RobotFileParser()

@@ -4,18 +4,26 @@ This is the Spark rendering of the oracle crawler's pinned wave algorithm
 (oracle/crawler.py — [UP webchecker.py Checker.run] semantics). One wave =
 
     frontier snapshot ──(priority, salted politeness budget, global top-k)──▶ selected
-    selected ──(⟕ broadcast robots, ⟕ pages on url_canon)──▶ fetched+status
+    selected ──(⟕ robots dim, ⟕ pages on url_canon)──▶ fetched+status
     fetched ──(Arrow batch UDFs: sniff, extract_text, extract_links)──▶ emitted
     links ──(scope/ignore Catalyst filters, per-wave dedup)──▶ candidates
-    candidates ──(Bloom-shard prefilter + exact left_anti vs seen)──▶ new frontier
+    candidates ──(shard-routed Bloom cogroup + exact left_anti vs seen)──▶ new frontier
     atomic multi-table commit {crawled, links, ext_links, errors, seen,
-                               metrics, frontier'}  — resumable (ST1/ST2)
+                               metrics, bloom_shards, frontier'} — resumable
 
-Everything except the five pinned pandas UDFs is Catalyst: filters are Column
-exprs (pushdown-able), the fat `html BINARY` column is pruned before every
-shuffle, robots is a broadcast join, the hot-domain budget is salted, the
-global top-k is TakeOrderedAndProject, and the candidate dedup is a Bloom
-prefilter + anti-join (10^10-scale story in operators/dedup.py).
+Scale shape (the 10^10-URL story):
+- NOTHING round-trips through the driver per wave: robots stays a DataFrame
+  (broadcast only under a row-count guard), the Bloom seen-set is a snapshot
+  TABLE probed via a shard-routed cogroup (operators/dedup.py), and every
+  row count the loop needs comes from Observations attached to the commit
+  writes themselves (manifest["counts"]) — zero dedicated count() jobs.
+- Everything except the pinned pandas UDFs is Catalyst: filters are Column
+  exprs (pushdown-able), the fat `html BINARY` column is pruned before every
+  shuffle, the hot-domain budget is salted, the global top-k is
+  TakeOrderedAndProject.
+- Politeness honors robots Crawl-delay: a wave notionally spans
+  cfg.wave_seconds, so a delay-d domain's budget is wave_seconds//d capped
+  by per_domain_budget (pinned identically in oracle/crawler.py).
 """
 
 from __future__ import annotations
@@ -27,7 +35,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -35,16 +42,15 @@ from pyspark.sql.types import (
 from ..oracle.crawler import DEFAULT_AGENT
 from ..oracle.extract import _TYPE_MAP
 from ..functions.udfs import (
-    canonicalize_udf, extract_links_udf, extract_text_udf,
-    registered_domain_udf, robots_allowed_udf, sniff_mimetype_udf,
-    url_to_path_udf,
+    canonicalize_udf, crawl_delay_udf, extract_page_udf,
+    registered_domain_udf, robots_allowed_udf, url_to_path_udf,
 )
 from ..operators.frontier import (
     assign_sortorder, politeness_budget, wave_topk, with_priority,
 )
 from ..operators.dedup import (
-    bloom_maybe_seen, build_bloom_shards, collect_bloom_fragments,
-    merge_fragments, seen_anti_join,
+    SHARD_SCHEMA, bloom_probe, build_bloom_fragments, build_bloom_shards,
+    merge_bloom_fragments, seen_anti_join,
 )
 from ..sources.icetable import SnapshotStore
 from ..shipping import ship_package
@@ -73,17 +79,28 @@ class SparkCrawlConfig:
     ignore: tuple[str, ...] = ()
     roots: tuple[str, ...] = ()
     agent: str = DEFAULT_AGENT
+    nonames: bool = False  # F6 [UP webchecker -n]: drop <a name=…> anchors
+    # politeness window a wave notionally spans; robots Crawl-delay d caps a
+    # domain's wave budget at wave_seconds//d (pinned, oracle _domain_budget)
+    wave_seconds: float = 30.0
     n_salts: int = 8
     use_bloom: bool = True
     n_bloom_shards: int = 32
     # fixed shard size so incremental OR-merges line up. 128 KiB/shard x 32
     # shards = 4 MiB total = ~10 bits/key for ~3.4M URLs. At the 10^10
     # design point: n_bloom_shards=1024, shard_bytes=12<<20 (~12 MiB/shard,
-    # 12.5 GB total, fpp~1% at k=7) — per-executor probe still touches only
-    # the shards its candidates hash to.
+    # 12.5 GB total, fpp~1% at k=7) — per-executor probe only ever holds the
+    # shards its candidates hash to (shard-routed cogroup).
     bloom_shard_bytes: int = 1 << 17
+    # fragment dirs accumulate one per wave; every Nth wave the shard table
+    # is OR-compacted back to one row per shard (bounds read amplification)
+    bloom_compact_every: int = 8
     n_buckets: int = 16  # bucket(registered_domain) for table layout
     arrow_batch: int = 2048  # html is fat: keep Arrow batches small
+    # robots is broadcast to the politeness/fetch joins only while it fits;
+    # beyond this row count it becomes a plain shuffle join on
+    # registered_domain (web scale: one row per domain = tens of millions)
+    robots_broadcast_rows: int = 4_000_000
     # corpus caching strategy: "full" persists the prepared corpus (right for
     # corpora that fit executor storage); "skinny" persists only the dedup
     # winners (url_canon, warc_ts, url) and re-scans the corpus parquet each
@@ -151,7 +168,6 @@ class SparkCrawler:
         spark.conf.set(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true")
-        self._bloom: dict[int, "object"] | None = None  # sid -> np.uint8[]
 
     @contextmanager
     def _timed(self, wave: int, step: str):
@@ -166,43 +182,58 @@ class SparkCrawler:
         url_canon).
 
         Scale-critical shape: the winner is chosen on SKINNY columns
-        (url_canon, warc_ts, url) via a map-side-combinable max(struct(...)),
-        then joined back — the fat `html BINARY` column never enters a
-        shuffle. The window-function alternative would repartition the entire
-        corpus body-bytes (terabytes at the design point) just to pick
-        winners."""
+        (url_canon, warc_ts, url, row id) via a map-side-combinable
+        max(struct(...)), then joined back — the fat `html BINARY` column
+        never enters a shuffle. The row id tie-breaks EXACT duplicate corpus
+        rows (same url, timestamp, body — common in dirty crawl data) so
+        exactly one survives the join-back; content is identical by
+        definition, so any winner yields byte-identical output."""
         canon = pages.select("url", "warc_ts", "html") \
-            .withColumn("url_canon", canonicalize_udf("url"))
+            .withColumn("url_canon", canonicalize_udf("url")) \
+            .withColumn("_rid", F.monotonically_increasing_id())
         winners = (
-            canon.select("url_canon", "warc_ts", "url")
+            canon.select("url_canon", "warc_ts", "url", "_rid")
             .groupBy("url_canon")
-            .agg(F.max(F.struct("warc_ts", "url")).alias("_w"))
-            .select("url_canon", F.col("_w.warc_ts").alias("warc_ts"),
-                    F.col("_w.url").alias("url"))
+            .agg(F.max(F.struct("warc_ts", "url", "_rid")).alias("_w"))
+            .select("url_canon", F.col("_w._rid").alias("_rid"))
         )
         if self.cfg.cache_corpus == "skinny":
             winners = winners.persist()  # the only thing pinned: no bodies
-        return canon.join(winners, ["url_canon", "warc_ts", "url"])
+        return canon.join(winners, ["url_canon", "_rid"]).drop("_rid")
 
     def robots_table(self, pages_prepared: DataFrame) -> DataFrame:
-        """S6: robots universe = pages rows at path /robots.txt."""
-        return (
+        """S6: robots universe = pages rows at path /robots.txt, reduced to
+        EXACTLY one row per registered_domain (the normal Common-Crawl case
+        has robots.txt on several hosts of one domain, e.g. www.example.com
+        and example.com). Pinned winner: max (url_canon, robots_txt) —
+        mirrored by the oracle's robots-map construction
+        (sources/corpus.py robots_best)."""
+        rows = (
             pages_prepared
             .filter(F.parse_url("url_canon", F.lit("PATH")) == "/robots.txt")
             .select(
                 registered_domain_udf("url_canon").alias("registered_domain"),
+                F.col("url_canon"),
                 F.decode("html", "UTF-8").alias("robots_txt"),
             )
+        )
+        return (
+            rows.groupBy("registered_domain")
+            .agg(F.max(F.struct("url_canon", "robots_txt")).alias("_w"))
+            .select("registered_domain",
+                    F.col("_w.robots_txt").alias("robots_txt"))
         )
 
     # -- bootstrap -----------------------------------------------------------
     def bootstrap(self, seeds: list[str],
                   robots_store: DataFrame | None = None) -> None:
-        """S5: seeds -> frontier snapshot v0, depth=0; seeds enter seen."""
+        """S5: seeds -> frontier snapshot v0, depth=0; seeds enter seen (and
+        the Bloom shard table — the zero-false-negative invariant requires
+        every seen URL to be bloom-visible)."""
         from ..oracle.urlnorm import canonicalize as _canon
         from ..oracle.urlnorm import registered_domain as _regdom
 
-        spark = self.spark
+        cfg, spark = self.cfg, self.spark
         seeds_c = sorted({_canon(u) for u in seeds})
         frontier = spark.createDataFrame(
             [(u, 0, 0, _regdom(u)) for u in seeds_c], FRONTIER_SCHEMA
@@ -211,38 +242,61 @@ class SparkCrawler:
         appends = {"seen": seen}
         if robots_store is not None:
             appends["robots"] = robots_store
+        if cfg.use_bloom:
+            appends["bloom_shards"] = build_bloom_fragments(
+                seen, cfg.n_bloom_shards, cfg.bloom_shard_bytes)
         self.store.commit_wave(
             -1, appends=appends, replaces={"frontier": frontier},
-            extra={"crawled_count": 0, "roots": list(self.cfg.roots) or sorted(
+            extra={"crawled_count": 0,
+                   "bloom_params": [cfg.n_bloom_shards,
+                                    cfg.bloom_shard_bytes],
+                   "roots": list(self.cfg.roots) or sorted(
                 {u.split("://", 1)[0] + "://" + u.split("://", 1)[1].split("/", 1)[0] + "/"
                  for u in seeds_c}
             )},
         )
 
+    # -- bloom state ---------------------------------------------------------
+    def _bloom_shards_df(self) -> tuple[DataFrame, bool]:
+        """Current shard table, validated against the config. A resumed
+        store whose recorded (n_shards, shard_bytes) differ from cfg would
+        route probes to shard ids the table doesn't hold — bloom would say
+        'definitely new' for seen URLs and silently re-crawl them. On
+        mismatch the table is REBUILT distributed from the seen table (the
+        exact source of truth); the caller commits it as a replace."""
+        cfg = self.cfg
+        m = self.store.current_manifest() or {}
+        params_ok = (m.get("bloom_params")
+                     == [cfg.n_bloom_shards, cfg.bloom_shard_bytes])
+        if params_ok and "bloom_shards" in m.get("tables", {}):
+            return (self.store.read(self.spark, "bloom_shards",
+                                    SHARD_SCHEMA), False)
+        seen = self.store.read(self.spark, "seen", SEEN_SCHEMA)
+        return (build_bloom_shards(seen, cfg.n_bloom_shards,
+                                   cfg.bloom_shard_bytes), True)
+
     # -- one wave ------------------------------------------------------------
     def run_wave(self, wave: int, pages_prepared: DataFrame,
-                 robots: DataFrame, roots: tuple[str, ...],
-                 crawled_count: int) -> int:
+                 robots: DataFrame, domain_budgets: DataFrame | None,
+                 roots: tuple[str, ...], crawled_count: int) -> int:
         cfg, spark = self.cfg, self.spark
+        budget = min(cfg.wave_size, cfg.max_pages - crawled_count)
+        if budget <= 0:
+            return 0
         frontier = self.store.read(spark, "frontier",
                                    FRONTIER_SCHEMA).persist()
 
         # --- selection: priority -> salted politeness -> global top-k ------
+        # (no count() gate: a nonempty frontier always selects >= 1 row —
+        # politeness keeps at least one per domain, top-k limit >= 1 — and
+        # frontier emptiness is known from the previous commit's counts)
         f = with_priority(frontier)
-        f = politeness_budget(f, cfg.per_domain_budget, cfg.n_salts)
-        budget = min(cfg.wave_size, cfg.max_pages - crawled_count)
-        if budget <= 0:
-            return 0
+        f = politeness_budget(f, cfg.per_domain_budget, cfg.n_salts,
+                              domain_budgets)
         selected = wave_topk(f, budget).persist()
-        with self._timed(wave, "select"):
-            n_selected = selected.count()
-        if n_selected == 0:
-            selected.unpersist()
-            frontier.unpersist()
-            return 0
 
-        # --- robots (broadcast — tiny dim) + fetch join ---------------------
-        sel = selected.join(F.broadcast(robots), "registered_domain", "left")
+        # --- robots gate (dim join) + fetch join -----------------------------
+        sel = selected.join(robots, "registered_domain", "left")
         sel = sel.withColumn(
             "allowed",
             robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
@@ -276,27 +330,27 @@ class SparkCrawler:
                 .persist()
             )
         else:
-            # --- extraction (the Arrow boundaries), lazy per-wave ------------
-            ok_html = F.when(is_ok, F.col("html"))  # null html for gated rows
-            # → the oracle functions return ''/[] — UDF never parses gated bytes
-            parsed = fetched.withColumn(
-                "mimetype",
-                F.when(is_ok, sniff_mimetype_udf(ok_html, F.col("url_canon"))),
-            )
-            is_html = is_ok & (F.col("mimetype") == "text/html")
-            html_in = F.when(is_html, F.col("html"))
+            # --- extraction (ONE Arrow boundary), lazy per-wave --------------
+            # fused sniff+links+text UDF: the fat html column crosses to
+            # Python once and the parser runs once per page (extract_page).
+            # Gated rows pass null html → the oracle returns (None, [], '')
+            ok_html = F.when(is_ok, F.col("html"))
+            pg = extract_page_udf(ok_html, F.col("url_canon"),
+                                  F.lit(cfg.nonames))
             parsed = (
-                parsed
+                fetched
+                .withColumn("_pg", pg)
+                .withColumn("mimetype",
+                            F.when(is_ok, F.col("_pg.mimetype")))
                 .withColumn("extracted_text",
-                            F.when(is_ok,
-                                   F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
-                                              F.lit(""))))
+                            F.when(is_ok, F.coalesce(F.col("_pg.text"),
+                                                     F.lit(""))))
                 .withColumn("links",
-                            F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+                            F.coalesce(F.col("_pg.links"),
                                        F.array().cast("array<string>")))
                 .withColumn("n_bytes",
                             F.when(is_ok, F.length("html")).otherwise(0))
-                .drop("html")
+                .drop("html", "_pg")
                 .persist()
             )
         is_html = is_ok & (F.col("mimetype") == "text/html")
@@ -337,7 +391,6 @@ class SparkCrawler:
         ignored_cond = F.lit(False)
         for pat in cfg.ignore:  # re.search semantics == rlike (pinned, F1)
             ignored_cond = ignored_cond | F.col("dst").rlike(pat)
-        ignored = scoped.filter(ignored_cond)
         kept = scoped.filter(~ignored_cond).dropDuplicates(["src", "dst"])
         links_new = kept.select("src", "dst", F.lit(wave).alias("wave"))
 
@@ -366,14 +419,11 @@ class SparkCrawler:
         # frontier ⊆ seen (every pending URL was added to seen at discovery),
         # so the seen anti-join alone yields exactly the fresh candidates —
         # no separate anti-join against `remaining` is needed
-        fresh_cand = cand
+        bloom_rebuild = False
         if cfg.use_bloom:
-            # standing shard state, updated incrementally per wave — the
-            # build cost is O(|new urls this wave|), never a seen rescan
-            shards = [(sid, arr.tobytes())
-                      for sid, arr in self._bloom_state().items()]
-            flagged = bloom_maybe_seen(fresh_cand, shards,
-                                       cfg.n_bloom_shards)
+            shards, bloom_rebuild = self._bloom_shards_df()
+            flagged = bloom_probe(cand, shards, cfg.n_bloom_shards,
+                                  cfg.bloom_shard_bytes)
             definitely_new = flagged.filter(~F.col("_maybe_seen")) \
                 .drop("_maybe_seen")
             suspects = flagged.filter(F.col("_maybe_seen")) \
@@ -381,7 +431,7 @@ class SparkCrawler:
             new_entries = definitely_new.unionByName(
                 seen_anti_join(suspects, seen))
         else:
-            new_entries = seen_anti_join(fresh_cand, seen)
+            new_entries = seen_anti_join(cand, seen)
         new_entries = new_entries.select(
             "url_canon", "depth", F.col("new_refs").alias("n_refs"),
             registered_domain_udf("url_canon").alias("registered_domain"),
@@ -391,7 +441,11 @@ class SparkCrawler:
         seen_new = new_entries.select(
             "url_canon", F.lit(wave).alias("wave"))
 
-        # --- per-partition lineage metrics (A3) ------------------------------
+        # --- lineage metrics (A3): per-partition rows + ONE wave-level row --
+        # (wave-level scalars like skipped_ignore live on partition_id=-1 so
+        # a uniform SUM over the table is correct; both aggregates ride the
+        # same metrics write job — no dedicated count() jobs per wave)
+        zero = F.lit(0).cast("long")
         part_metrics = (
             parsed.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -406,58 +460,73 @@ class SparkCrawler:
                 F.sum("n_bytes").alias("bytes"),
             )
             .withColumn("wave", F.lit(wave))
+            .withColumn("skipped_ignore", zero)
         )
+        wave_metrics = lk.agg(
+            F.coalesce(F.sum(F.when(in_scope & ignored_cond, 1)
+                             .otherwise(0)), F.lit(0))
+            .cast("long").alias("skipped_ignore")
+        ).select(
+            F.lit(-1).alias("partition_id"), zero.alias("fetched"),
+            zero.alias("parsed"), zero.alias("skipped_robots"),
+            zero.alias("skipped_maxsize"), zero.alias("skipped_notfound"),
+            zero.alias("bytes"), F.lit(wave).alias("wave"),
+            "skipped_ignore",
+        )
+        metrics = part_metrics.unionByName(wave_metrics)
 
-        # materialize the wave concurrently: emit-count and the bloom
-        # fragment build are independent once `parsed` is cached
-        from concurrent.futures import ThreadPoolExecutor
-
-        crawled_new = crawled_new.persist()
-        with self._timed(wave, "extract_emit"):
-            with ThreadPoolExecutor(max_workers=3) as ex:
-                f_emit = ex.submit(crawled_new.count)
-                f_ignored = ex.submit(ignored.count)
-                f_frags = (
-                    ex.submit(collect_bloom_fragments,
-                              new_entries.select("url_canon"),
-                              cfg.n_bloom_shards, cfg.bloom_shard_bytes)
-                    if cfg.use_bloom else None)
-                n_emitted = f_emit.result()
-                n_ignored = f_ignored.result()
-                if f_frags is not None:
-                    merge_fragments(self._bloom_state(), f_frags.result())
-        part_metrics = part_metrics.withColumn("skipped_ignore",
-                                               F.lit(n_ignored))
         with self._timed(wave, "commit"):
-            self._commit(wave, crawled_new, links_new, ext_links, errors,
-                         seen_new, part_metrics, frontier_next, roots,
-                         crawled_count + n_emitted)
+            counts = self._commit(wave, crawled_new, links_new, ext_links,
+                                  errors, seen_new, metrics, frontier_next,
+                                  roots, crawled_count, bloom_rebuild,
+                                  (shards if cfg.use_bloom else None))
         selected.unpersist()
         parsed.unpersist()
         cand.unpersist()
         new_entries.unpersist()
-        crawled_new.unpersist()
         frontier.unpersist()
-        return n_selected
+        # every selected row lands in exactly one of crawled/errors
+        return counts["crawled"] + counts["errors"]
 
     def _commit(self, wave, crawled_new, links_new, ext_links, errors,
-                seen_new, part_metrics, frontier_next, roots, crawled_count):
-        self.store.commit_wave(
+                seen_new, metrics, frontier_next, roots, crawled_count,
+                bloom_rebuild, shards):
+        cfg = self.cfg
+        appends = {
+            "crawled": crawled_new, "links": links_new,
+            "ext_links": ext_links, "errors": errors,
+            "seen": seen_new, "metrics": metrics,
+        }
+        replaces = {"frontier": frontier_next}
+        if cfg.use_bloom:
+            new_frags = build_bloom_fragments(
+                seen_new.select("url_canon"), cfg.n_bloom_shards,
+                cfg.bloom_shard_bytes)
+            compact = (bloom_rebuild
+                       or wave % cfg.bloom_compact_every
+                       == cfg.bloom_compact_every - 1)
+            if compact:
+                # OR-compact everything back to one row per shard (and fold
+                # in a rebuild, which REPLACES stale-parameter fragments)
+                replaces["bloom_shards"] = merge_bloom_fragments(
+                    shards.unionByName(new_frags), cfg.bloom_shard_bytes)
+            else:
+                appends["bloom_shards"] = new_frags
+        manifest = self.store.commit_wave(
             wave,
-            appends={
-                "crawled": crawled_new, "links": links_new,
-                "ext_links": ext_links, "errors": errors,
-                "seen": seen_new, "metrics": part_metrics,
-            },
-            replaces={"frontier": frontier_next},
+            appends=appends,
+            replaces=replaces,
             bucket_keys={"crawled": "url_canon",
                          "frontier": "registered_domain"},
             sort_keys={"frontier": ["depth", "url_canon"]},
-            n_buckets=self.cfg.n_buckets,
-            extra={"crawled_count": crawled_count, "roots": list(roots)},
-            blobs=({"bloom": self._bloom_blob()}
-                   if self.cfg.use_bloom else None),
+            n_buckets=cfg.n_buckets,
+            extra={"roots": list(roots),
+                   "bloom_params": [cfg.n_bloom_shards,
+                                    cfg.bloom_shard_bytes]},
+            extra_fn=lambda counts: {
+                "crawled_count": crawled_count + counts["crawled"]},
         )
+        return manifest["counts"]
 
     def _extracted_path(self) -> str:
         return os.path.join(self.store.root, "data", "corpus_extracted")
@@ -470,71 +539,54 @@ class SparkCrawler:
         out of every wave scan)."""
         path = self._extracted_path()
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            mt = sniff_mimetype_udf("html", "url_canon")
-            ext = pages_prepared.withColumn("mimetype", mt)
-            is_html = F.col("mimetype") == "text/html"
-            html_in = F.when(is_html, F.col("html"))
-            ext = ext.select(
-                "url", "warc_ts", "url_canon", "mimetype",
-                F.length("html").alias("n_bytes"),
-                F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+            pg = extract_page_udf("html", "url_canon",
+                                  F.lit(self.cfg.nonames))
+            ext = pages_prepared.select(
+                "url", "warc_ts", "url_canon",
+                F.length("html").alias("n_bytes"), pg.alias("_pg"),
+            ).select(
+                "url", "warc_ts", "url_canon",
+                F.col("_pg.mimetype").alias("mimetype"), "n_bytes",
+                F.coalesce(F.col("_pg.links"),
                            F.array().cast("array<string>")).alias("links"),
-                F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
-                           F.lit("")).alias("extracted_text"),
+                F.coalesce(F.col("_pg.text"), F.lit(""))
+                 .alias("extracted_text"),
             )
             ext.write.mode("overwrite").parquet(path)
         # the slim view is small by design (no bodies, no text): pin it so
         # every wave's fetch join probes memory, not parquet
         return self.spark.read.parquet(path).drop("extracted_text").persist()
 
-    def _bloom_state(self) -> dict:
-        """Standing Bloom shard state: loaded from the last committed blob
-        (resume), rebuilt from the seen table if the blob is missing, or
-        empty at bootstrap."""
-        if self._bloom is not None:
-            return self._bloom
-        import pickle
-
-        import numpy as np
-
-        raw = self.store.read_blob("bloom")
-        if raw is not None:
-            self._bloom = {
-                sid: np.frombuffer(b, dtype=np.uint8).copy()
-                for sid, b in pickle.loads(raw).items()
-            }
-        else:
-            seen = self.store.read(self.spark, "seen", SEEN_SCHEMA)
-            self._bloom = collect_bloom_fragments(
-                seen.select("url_canon"), self.cfg.n_bloom_shards,
-                self.cfg.bloom_shard_bytes)
-        return self._bloom
-
-    def _bloom_blob(self) -> bytes:
-        import pickle
-
-        return pickle.dumps(
-            {sid: arr.tobytes() for sid, arr in (self._bloom or {}).items()})
-
     # -- full crawl ------------------------------------------------------------
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
-        cfg = self.cfg
+        cfg, spark = self.cfg, self.spark
         pages_prepared = self.prepare_pages(pages)
-        # robots is a tiny dim consulted every wave: materialize it once on
-        # the driver instead of re-deriving from the corpus per wave (must
-        # read the RAW prepared corpus — precompute drops the html column)
-        robots_src = self.robots_table(pages_prepared)
-        robots_rows = robots_src.collect()
-        robots = self.spark.createDataFrame(robots_rows, robots_src.schema) \
-            if robots_rows else robots_src
-        # robots table persisted with parsed crawl-delay (FIXTURES.md B.3:
-        # "parsed, recorded"); the per-wave gate uses robots_txt directly
-        from ..oracle.robots import crawl_delay
-        robots_store = self.spark.createDataFrame(
-            [(r["registered_domain"], r["robots_txt"],
-              crawl_delay(r["robots_txt"], cfg.agent))
-             for r in robots_rows],
-            "registered_domain string, robots_txt string, crawl_delay double")
+        # robots stays a DataFrame end to end (never collected): one row per
+        # registered_domain with the parsed crawl_delay, persisted because
+        # every wave consults it. Broadcast ONLY under the row-count guard —
+        # at web scale (one row per domain) it becomes a shuffle join.
+        robots_full = (
+            self.robots_table(pages_prepared)
+            .withColumn("crawl_delay",
+                        crawl_delay_udf("robots_txt", F.lit(cfg.agent)))
+            .persist()
+        )
+        n_robots = robots_full.count()  # one job at crawl start (size guard)
+        robots = robots_full.select("registered_domain", "robots_txt")
+        # Crawl-delay politeness dim: only delay-bearing domains carry a row
+        domain_budgets = robots_full.filter(
+            F.col("crawl_delay") > 0
+        ).select(
+            "registered_domain",
+            F.least(
+                F.lit(cfg.per_domain_budget),
+                F.greatest(F.lit(1), F.floor(
+                    F.lit(float(cfg.wave_seconds)) / F.col("crawl_delay"))),
+            ).cast("int").alias("dom_budget"),
+        )
+        if n_robots <= cfg.robots_broadcast_rows:
+            robots = F.broadcast(robots)
+            domain_budgets = F.broadcast(domain_budgets)
         if cfg.fetch_mode == "precompute":
             with self._timed(-1, "precompute_extraction"):
                 pages_prepared = self._precompute_extraction(pages_prepared)
@@ -542,18 +594,25 @@ class SparkCrawler:
             pages_prepared = pages_prepared.persist()
         manifest = self.store.current_manifest()
         if manifest is None:
-            self.bootstrap(seeds, robots_store)
+            self.bootstrap(seeds, robots_full)
             manifest = self.store.current_manifest()
         roots = tuple(manifest["roots"])
         wave = manifest["wave"] + 1
         while wave < cfg.max_waves:
             manifest = self.store.current_manifest()
-            n = self.run_wave(wave, pages_prepared, robots, roots,
-                              manifest.get("crawled_count", 0))
+            n_frontier = manifest.get("counts", {}).get("frontier")
+            if n_frontier is None:  # pre-counts store (or foreign manifest)
+                n_frontier = self.store.read(spark, "frontier",
+                                             FRONTIER_SCHEMA).count()
+            if n_frontier == 0:
+                break
+            n = self.run_wave(wave, pages_prepared, robots, domain_budgets,
+                              roots, manifest.get("crawled_count", 0))
             if n == 0:
                 break
             wave += 1
         pages_prepared.unpersist()
+        robots_full.unpersist()
         return self.finalize()
 
     def finalize(self) -> DataFrame:
@@ -576,14 +635,14 @@ class SparkCrawler:
                                    F.array().cast("array<string>")))
         )
         if self.cfg.fetch_mode == "precompute":
-            # attach deferred text in ONE join (the only time the fat
-            # extracted_text column is scanned after the precompute pass)
+            # attach deferred text in ONE equi-join on url_canon (the only
+            # time the fat extracted_text column is scanned after the
+            # precompute pass). No broadcast hint: AQE broadcasts the slim
+            # crawled side while it fits and falls back to a sort-merge
+            # join at scale — at the 10^10 design point "crawled minus
+            # text" is billions of rows, which must never be broadcast.
             text = spark.read.parquet(self._extracted_path()).select(
                 "url_canon", F.col("extracted_text").alias("_text"))
-            # broadcast the slim crawled side so the fat text column streams
-            # map-side exactly once, never through a shuffle (crawled ⊆
-            # corpus, so inner ≡ left here)
-            out = (text.join(F.broadcast(out.drop("extracted_text")),
-                             "url_canon")
+            out = (text.join(out.drop("extracted_text"), "url_canon")
                    .withColumnRenamed("_text", "extracted_text"))
         return out

@@ -115,6 +115,8 @@ def _html_page(rng, url_c, domain, i, n_pages, domains, oversize=False,
     if rng.random() < 0.3:  # ignore-pattern targets (F1)
         parts.append(f'<a href="http://{domain}/private/s{i}.html">secret</a>')
         parts.append(f'<a href="http://{domain}/a{i}.zip">zipfile</a>')
+    if i % 31 == 9:  # name anchor (F6 nonames semantics)
+        parts.append(f'<a name="sec{i}">section head</a>')
     # entities, \r\n runs, multi-whitespace (T5)
     parts.append(
         f"<p>body &amp; entit&eacute;s\r\n\r\n  {_words(rng, body_words)} </p>")
@@ -182,6 +184,16 @@ def _gen_domain(args):
             url=f"http://{dom}/robots.txt", warc_ts=ts0, html=robots,
             text="", lang="en",
         ))
+    if d_i == 4:
+        # second robots.txt on a subdomain of the SAME registered domain —
+        # the normal Common-Crawl case (www.example.com vs example.com).
+        # Both engines must reduce to ONE robots row per registered_domain
+        # via the pinned winner rule: max url_canon wins (www > bare host).
+        rows.append(dict(
+            url=f"http://www.{dom}/robots.txt", warc_ts=ts0,
+            html=b"User-agent: *\nDisallow: /d3/\nCrawl-delay: 1\n",
+            text="", lang="en",
+        ))
     return d_i, rows
 
 
@@ -228,11 +240,18 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
         seeds.append(f"http://{domains[2]}/")  # robots 'Disallow: /' domain
     if n_domains > 3:
         seeds.append(f"http://{domains[3]}/")
-    robots_map = {}
+    # one robots row per REGISTERED domain, pinned winner = max url_canon
+    # (mirrors the Spark robots_table groupBy(registered_domain).max(struct))
+    from ..oracle.urlnorm import registered_domain
+    robots_best: dict[str, tuple[str, str]] = {}
     for r in rows:
         if r["url"].endswith("/robots.txt"):
-            dom = r["url"].split("//", 1)[1].split("/", 1)[0]
-            robots_map[dom] = r["html"].decode("utf-8")
+            c = canonicalize(r["url"])
+            dom = registered_domain(c)
+            body = r["html"].decode("utf-8")
+            if dom not in robots_best or c > robots_best[dom][0]:
+                robots_best[dom] = (c, body)
+    robots_map = {dom: body for dom, (_c, body) in robots_best.items()}
     return rows, seeds, robots_map
 
 

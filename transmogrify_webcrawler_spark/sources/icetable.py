@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _footer_row_count(data_dir: str) -> int:
+    """Row count from parquet footers — metadata only, no Spark job (the
+    analogue of Iceberg's per-snapshot record counts)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fn in os.listdir(data_dir):
+        if fn.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(data_dir, fn)).metadata.num_rows
+    return total
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -63,10 +75,18 @@ class SnapshotStore:
         extra: dict | None = None,
         blobs: dict[str, bytes] | None = None,
         sort_keys: dict[str, list[str]] | None = None,
+        extra_fn=None,
     ) -> dict:
         """Write every table's new data dir, then atomically publish the
         manifest. Data dirs written before the pointer flip are invisible to
-        readers; a crash mid-commit leaves the previous snapshot intact."""
+        readers; a crash mid-commit leaves the previous snapshot intact.
+
+        Every write records its row count from the freshly-written parquet
+        FOOTERS (driver-side metadata read, zero Spark jobs) — the counts
+        land in manifest["counts"], exactly what a real Iceberg snapshot
+        carries in its manifest files. ``extra_fn(counts) -> dict`` lets the
+        caller derive manifest fields (e.g. a running crawled_count) from
+        them post-write."""
         prev = self.current_manifest() or {"tables": {}}
         tables: dict[str, list[str]] = {
             k: list(v) for k, v in prev["tables"].items()
@@ -75,20 +95,22 @@ class SnapshotStore:
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
         self.last_write_times: dict[str, float] = {}
+        self.last_write_counts: dict[str, int] = {}
 
         def _write(item):
             name, df = item
             _t0 = _time.time()
             rel = os.path.join("data", name, f"wave={wave:06d}")
             out = os.path.join(self.root, rel)
-            key = bucket_keys.get(name)
             writer = df
+            key = bucket_keys.get(name)
             if key is not None and n_buckets > 0 and key in df.columns:
-                writer = df.repartition(n_buckets, key)
+                writer = writer.repartition(n_buckets, key)
             sk = (sort_keys or {}).get(name)
             if sk:  # Iceberg sortedBy rendered as sortWithinPartitions
                 writer = writer.sortWithinPartitions(*sk)
             writer.write.mode("overwrite").parquet(out)
+            self.last_write_counts[name] = _footer_row_count(out)
             self.last_write_times[name] = round(_time.time() - _t0, 3)
             return name, rel
 
@@ -112,8 +134,12 @@ class SnapshotStore:
                 f.write(payload)
             os.replace(full + ".tmp", full)
             blob_paths[name] = rel
-        manifest = {"wave": wave, "tables": tables, "blobs": blob_paths,
-                    **(extra or {})}
+        counts = dict(self.last_write_counts)
+        carried = {k: v for k, v in prev.items()
+                   if k not in ("wave", "tables", "blobs", "counts")}
+        manifest = {**carried, "wave": wave, "tables": tables,
+                    "blobs": blob_paths, "counts": counts, **(extra or {}),
+                    **(extra_fn(counts) if extra_fn else {})}
         version = f"v{wave:06d}.json"
         with open(os.path.join(self.root, "_snapshots", version), "w") as f:
             json.dump(manifest, f)
@@ -122,6 +148,26 @@ class SnapshotStore:
             f.write(version)
         os.replace(tmp, self._current_path())  # the atomic publish
         return manifest
+
+    # -- writeTo facade -------------------------------------------------------
+    def writeTo(self, name: str):  # noqa: N802 — mirrors Spark's API casing
+        """Iceberg DataFrameWriterV2-shaped seam: ``store.writeTo(t).append(df)``
+        / ``.createOrReplace(df)`` commit a single-table snapshot, exactly the
+        call shape ``df.writeTo("catalog.t").append()`` has against a real
+        Iceberg catalog — swapping one in is a config change, not a rewrite
+        (SURVEY.md §7.4). Each call publishes one snapshot (wave auto-bumped)."""
+        store = self
+
+        class _WriterV2:
+            def append(self, df: DataFrame) -> dict:
+                return store.commit_wave(store.current_wave() + 1,
+                                         appends={name: df}, replaces={})
+
+            def createOrReplace(self, df: DataFrame) -> dict:
+                return store.commit_wave(store.current_wave() + 1,
+                                         appends={}, replaces={name: df})
+
+        return _WriterV2()
 
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession, name: str,

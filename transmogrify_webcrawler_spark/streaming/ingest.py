@@ -18,8 +18,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.udfs import (
-    canonicalize_udf, extract_links_udf, extract_text_udf,
-    registered_domain_udf, sniff_mimetype_udf,
+    canonicalize_udf, extract_page_udf, registered_domain_udf,
 )
 
 PAGES_SCHEMA = StructType([
@@ -36,17 +35,15 @@ def extraction_plan(pages: DataFrame) -> DataFrame:
     inputs (Structured Streaming's unified DataFrame model)."""
     url_c = canonicalize_udf("url")
     df = pages.withColumn("url_canon", url_c)
-    mimetype = sniff_mimetype_udf("html", "url_canon")
-    df = df.withColumn("mimetype", mimetype)
-    is_html = F.col("mimetype") == "text/html"
-    html_in = F.when(is_html, F.col("html"))
+    # fused sniff+links+text: one Arrow transfer of html, one parser pass
+    df = df.withColumn("_pg", extract_page_udf("html", "url_canon",
+                                               F.lit(False)))
     return df.select(
         "url", "url_canon", "warc_ts",
         registered_domain_udf("url_canon").alias("registered_domain"),
-        "mimetype",
-        F.coalesce(extract_text_udf(html_in, F.col("url_canon")),
-                   F.lit("")).alias("extracted_text"),
-        F.coalesce(extract_links_udf(html_in, F.col("url_canon")),
+        F.col("_pg.mimetype").alias("mimetype"),
+        F.coalesce(F.col("_pg.text"), F.lit("")).alias("extracted_text"),
+        F.coalesce(F.col("_pg.links"),
                    F.array().cast("array<string>")).alias("links"),
         F.length("html").alias("n_bytes"),
     )
