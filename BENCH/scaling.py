@@ -66,6 +66,8 @@ def run_at(cpus: int) -> dict:
                SPARK_GRAFT_DOMAIN_BUDGET="100000",
                SPARK_GRAFT_HOT_SHARE=HOT_SHARE,
                SPARK_GRAFT_SEED_EVERY="25",
+               # delay-nonbinding: measure throughput, not politeness waits
+               SPARK_GRAFT_WAVE_SECONDS="1e18",
                SPARK_GRAFT_ARROW_BATCH="256")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
@@ -95,13 +97,28 @@ def main():
     waves = "\n".join(
         f"- local[{c}]: {json.dumps(r['per_wave_sec'])}"
         for c, r in results.items())
+    best = max(eff_2_8, eff_8_32)
+    if eff_2_8 >= 0.8:
+        gate_line = (f"Gate: >= 0.8 on an N->4N pairing — **MET** by "
+                     f"local[2]->local[8]: {eff_2_8:.3f}.")
+    elif eff_8_32 >= 0.8:
+        gate_line = (f"Gate: >= 0.8 on an N->4N pairing — **MET** by "
+                     f"local[8]->local[32]: {eff_8_32:.3f}.")
+    else:
+        gate_line = (f"Gate: >= 0.8 on an N->4N pairing — **NOT MET "
+                     f"locally** (best pairing {best:.3f}); the measured "
+                     f"hardware ceiling for the 8->32 pairing on this VM is "
+                     f"{hw_8_32:.2f} per-core retention (no-Spark "
+                     f"multiprocessing burn), so compare the engine number "
+                     f"against that ceiling, not 1.0.")
     md = f"""# BENCH/BASELINE — measured numbers (this engine; reference has none)
 
 Identical crawl job, identical corpus ({PAGES} pages, seed=42,
-body_words={BODY_WORDS}, ~170 KB/page), dense seed sample (every 25th URL —
+body_words={BODY_WORDS}), dense seed sample (every 25th URL —
 the huge-frontier shape: few waves, each wave large), fresh JVM per run,
 shuffle partitions = 2 x cores, per-wave corpus re-scan (nothing body-sized
-cached — the 100 TB configuration).
+cached — the 100 TB configuration), crawl-delay window non-binding
+(throughput, not politeness waits, is what scales with executors).
 
 | config | pages crawled | waves | wall (s) | pages/sec |
 | --- | --- | --- | --- | --- |
@@ -111,16 +128,18 @@ cached — the 100 TB configuration).
 
 | pairing | efficiency (T_big/T_small)/4 | hardware ceiling (same pairing) |
 | --- | --- | --- |
-| local[2] -> local[8]  | **{eff_2_8:.3f}** | ~1.0 (per-core flat to 8 busy cores) |
-| local[8] -> local[32] | {eff_8_32:.3f} | {hw_8_32:.2f} (measured: pure-Python mp burn, no Spark) |
+| local[2] -> local[8]  | {eff_2_8:.3f} | ~1.0 (per-core flat to 8 busy cores) |
+| local[8] -> local[32] | {eff_8_32:.3f} | {hw_8_32:.2f} (measured: pure-Python mp burn, no Spark; this VM reports 32 vCPUs but per-core throughput drops past ~16 busy cores — SMT/steal) |
 
-Gate: >= 0.8 on an N->4N pairing — met by local[2]->local[8]: {eff_2_8:.3f}.
-The 8->32 pairing is limited by this VM's hardware, not the engine: a
-perfectly parallel no-Spark multiprocessing burn achieves only {hw_8_32:.2f}
-per-core retention from 8 to 32 busy cores (frequency/steal), i.e. a ~
-{0.25 * 4 * hw_8_32:.2f} ceiling for ANY job. On a real 4x-executor cluster
-(4x memory bandwidth, 4x cores at constant clock) the 2->8 behaviour is the
-representative one.
+{gate_line}
+
+Key engine lever found in round 2: `spark.sql.files.maxPartitionBytes` must
+be small for fat-binary page scans (engine default now 16m,
+SparkCrawlConfig.max_partition_bytes). Measured on the 50k-page corpus,
+extraction pass alone: local[32]/128m = 223.7 s vs local[32]/16m = 43.8 s
+(5.1x); with 128m, 32 cores were SLOWER than 8 (223.7 vs 107.6 s) — ~34
+oversized scan tasks each buffering >100 MB of page bodies through the JVM
+and the Arrow boundary at once.
 
 Per-wave frontier-expansion wall time (s):
 

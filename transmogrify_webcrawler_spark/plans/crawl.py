@@ -101,6 +101,14 @@ class SparkCrawlConfig:
     # beyond this row count it becomes a plain shuffle join on
     # registered_domain (web scale: one row per domain = tens of millions)
     robots_broadcast_rows: int = 4_000_000
+    # scan-split size for the fat `html BINARY` corpus. The Spark default
+    # (128 MB) is tuned for skinny columnar rows; over ~100 KB binary pages
+    # it makes each scan task buffer >100 MB of bodies through the Arrow
+    # boundary — measured on this engine: the 50k-page extraction pass ran
+    # 223.7 s at local[32]/128m vs 43.8 s at local[32]/16m (5x), and 128m
+    # made 32 cores SLOWER than 8. Small splits also bound per-task memory
+    # at the 100 TB design point and smooth hot-domain stragglers.
+    max_partition_bytes: str = "16m"
     # corpus caching strategy: "full" persists the prepared corpus (right for
     # corpora that fit executor storage); "skinny" persists only the dedup
     # winners (url_canon, warc_ts, url) and re-scans the corpus parquet each
@@ -129,14 +137,43 @@ def content_type_expr(mimetype):
     return expr.otherwise(F.lit("File"))
 
 
+def host_root_expr(url):
+    """scheme://host/ of a canonical URL (oracle._root_of)."""
+    return F.concat(F.split(url, "/", 4)[0], F.lit("//"),
+                    F.split(url, "/", 4)[2], F.lit("/"))
+
+
+def all_host_form(roots: tuple[str, ...]) -> bool:
+    """True when every root is a bare host root (scheme://host/) — the
+    derived-from-seeds shape. Then `url startswith root` ⟺
+    `host_root(url) == root`, so scope checks and site resolution collapse
+    from a |roots|-deep startswith OR/CASE chain (240+ exprs with dense
+    seeds — measured seconds of per-wave analysis/codegen) to ONE
+    hash-set membership / ONE concat."""
+    return all(r.count("/") == 3 and r.endswith("/") for r in roots)
+
+
+def in_scope_expr(url, roots: tuple[str, ...]):
+    """F2 scope predicate: url starts with one of the roots."""
+    if all_host_form(roots):
+        return host_root_expr(url).isin(*roots)
+    expr = F.lit(False)
+    for r in sorted(roots):
+        expr = expr | url.startswith(r)
+    return expr
+
+
 def site_url_expr(url, roots: tuple[str, ...]):
-    """First matching root in sorted order (pinned, oracle._site_of)."""
+    """First matching root in sorted order (pinned, oracle._site_of).
+    For host-form roots every CASE branch returns the url's own host root,
+    so the whole expression reduces to host_root_expr unconditionally."""
+    if all_host_form(roots):
+        return host_root_expr(url)
     expr = None
     for r in sorted(roots):
         c = F.when(url.startswith(r), F.lit(r))
         expr = c if expr is None else expr.when(url.startswith(r), F.lit(r))
-    host = F.concat(F.split(url, "/", 4)[0], F.lit("//"),
-                    F.split(url, "/", 4)[2], F.lit("/"))
+    host = host_root_expr(url)
     return expr.otherwise(host) if expr is not None else host
 
 
@@ -154,6 +191,8 @@ class SparkCrawler:
         ship_package(spark)  # executors need the oracle inside the UDFs
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(cfg.arrow_batch))
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       cfg.max_partition_bytes)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         # frontier-state tables are tiny relative to shuffle.partitions —
         # let AQE coalesce aggressively instead of keeping parallelism-many
@@ -201,25 +240,31 @@ class SparkCrawler:
             winners = winners.persist()  # the only thing pinned: no bodies
         return canon.join(winners, ["url_canon", "_rid"]).drop("_rid")
 
-    def robots_table(self, pages_prepared: DataFrame) -> DataFrame:
-        """S6: robots universe = pages rows at path /robots.txt, reduced to
-        EXACTLY one row per registered_domain (the normal Common-Crawl case
-        has robots.txt on several hosts of one domain, e.g. www.example.com
-        and example.com). Pinned winner: max (url_canon, robots_txt) —
-        mirrored by the oracle's robots-map construction
-        (sources/corpus.py robots_best)."""
+    def robots_table(self, pages: DataFrame) -> DataFrame:
+        """S6: robots universe = pages rows whose RAW url ends in
+        /robots.txt (the oracle's own pinned prefilter — sources/corpus.py
+        robots_best), reduced to EXACTLY one row per registered_domain (the
+        normal Common-Crawl case has robots.txt on several hosts of one
+        domain, e.g. www.example.com and example.com). Pinned winner:
+        max (url_canon, warc_ts, robots_txt).
+
+        Takes the RAW pages table on purpose: the raw-url filter is a plain
+        Catalyst predicate, so finding ~one row per domain costs one
+        JVM-side scan — routing this through prepare_pages would run the
+        canonicalize UDF + the corpus-wide dedup (measured: 38 s of the
+        local[8] crawl on the 120k corpus) to keep a few hundred rows."""
         rows = (
-            pages_prepared
-            .filter(F.parse_url("url_canon", F.lit("PATH")) == "/robots.txt")
-            .select(
-                registered_domain_udf("url_canon").alias("registered_domain"),
-                F.col("url_canon"),
-                F.decode("html", "UTF-8").alias("robots_txt"),
-            )
+            pages
+            .filter(F.col("url").endswith("/robots.txt"))
+            .select(canonicalize_udf("url").alias("url_canon"), "warc_ts",
+                    F.decode("html", "UTF-8").alias("robots_txt"))
+            .withColumn("registered_domain",
+                        registered_domain_udf("url_canon"))
         )
         return (
             rows.groupBy("registered_domain")
-            .agg(F.max(F.struct("url_canon", "robots_txt")).alias("_w"))
+            .agg(F.max(F.struct("url_canon", "warc_ts", "robots_txt"))
+                 .alias("_w"))
             .select("registered_domain",
                     F.col("_w.robots_txt").alias("robots_txt"))
         )
@@ -283,6 +328,7 @@ class SparkCrawler:
         budget = min(cfg.wave_size, cfg.max_pages - crawled_count)
         if budget <= 0:
             return 0
+        t_build = time.time()
         frontier = self.store.read(spark, "frontier",
                                    FRONTIER_SCHEMA).persist()
 
@@ -382,9 +428,7 @@ class SparkCrawler:
             .select(F.col("url_canon").alias("src"), "depth",
                     F.explode("links").alias("dst"))
         )
-        in_scope = F.lit(False)
-        for r in sorted(roots):
-            in_scope = in_scope | F.col("dst").startswith(r)
+        in_scope = in_scope_expr(F.col("dst"), roots)
         ext_links = lk.filter(~in_scope).select(
             "src", "dst", F.lit(wave).alias("wave"))
         scoped = lk.filter(in_scope)
@@ -475,6 +519,8 @@ class SparkCrawler:
         )
         metrics = part_metrics.unionByName(wave_metrics)
 
+        self.timings.append(dict(wave=wave, step="plan_build",
+                                 sec=round(time.time() - t_build, 3)))
         with self._timed(wave, "commit"):
             counts = self._commit(wave, crawled_new, links_new, ext_links,
                                   errors, seen_new, metrics, frontier_next,
@@ -566,12 +612,13 @@ class SparkCrawler:
         # every wave consults it. Broadcast ONLY under the row-count guard —
         # at web scale (one row per domain) it becomes a shuffle join.
         robots_full = (
-            self.robots_table(pages_prepared)
+            self.robots_table(pages)
             .withColumn("crawl_delay",
                         crawl_delay_udf("robots_txt", F.lit(cfg.agent)))
             .persist()
         )
-        n_robots = robots_full.count()  # one job at crawl start (size guard)
+        with self._timed(-1, "robots_prep"):
+            n_robots = robots_full.count()  # one job at start (size guard)
         robots = robots_full.select("registered_domain", "robots_txt")
         # Crawl-delay politeness dim: only delay-bearing domains carry a row
         domain_budgets = robots_full.filter(
@@ -594,7 +641,8 @@ class SparkCrawler:
             pages_prepared = pages_prepared.persist()
         manifest = self.store.current_manifest()
         if manifest is None:
-            self.bootstrap(seeds, robots_full)
+            with self._timed(-1, "bootstrap"):
+                self.bootstrap(seeds, robots_full)
             manifest = self.store.current_manifest()
         roots = tuple(manifest["roots"])
         wave = manifest["wave"] + 1
@@ -613,7 +661,9 @@ class SparkCrawler:
             wave += 1
         pages_prepared.unpersist()
         robots_full.unpersist()
-        return self.finalize()
+        with self._timed(98, "finalize_build"):
+            out = self.finalize()
+        return out
 
     def finalize(self) -> DataFrame:
         """Backlinks = ALL in-scope referrers over the whole crawl

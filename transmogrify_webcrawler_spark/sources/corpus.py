@@ -240,18 +240,19 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
         seeds.append(f"http://{domains[2]}/")  # robots 'Disallow: /' domain
     if n_domains > 3:
         seeds.append(f"http://{domains[3]}/")
-    # one robots row per REGISTERED domain, pinned winner = max url_canon
-    # (mirrors the Spark robots_table groupBy(registered_domain).max(struct))
+    # one robots row per REGISTERED domain, pinned winner =
+    # max (url_canon, warc_ts, body) — mirrors the Spark robots_table
+    # groupBy(registered_domain).max(struct) exactly
     from ..oracle.urlnorm import registered_domain
-    robots_best: dict[str, tuple[str, str]] = {}
+    robots_best: dict[str, tuple] = {}
     for r in rows:
         if r["url"].endswith("/robots.txt"):
             c = canonicalize(r["url"])
             dom = registered_domain(c)
-            body = r["html"].decode("utf-8")
-            if dom not in robots_best or c > robots_best[dom][0]:
-                robots_best[dom] = (c, body)
-    robots_map = {dom: body for dom, (_c, body) in robots_best.items()}
+            key = (c, r["warc_ts"], r["html"].decode("utf-8"))
+            if dom not in robots_best or key > robots_best[dom]:
+                robots_best[dom] = key
+    robots_map = {dom: key[2] for dom, key in robots_best.items()}
     return rows, seeds, robots_map
 
 
@@ -269,6 +270,57 @@ def pages_index(rows):
         if c not in best or key > best[c][0]:
             best[c] = (key, (r["url"], r["html"]))
     return {c: v for c, (_, v) in best.items()}
+
+
+def generate_corpus_parquet(path: str, n_domains: int, total_pages: int,
+                            seed: int = SEED, body_words: int = 30,
+                            hot_share: float = 0.6,
+                            row_group_size: int = 64):
+    """Streaming variant of generate_corpus for corpora too big to hold in
+    memory: each domain's rows are written to the parquet file as they
+    arrive from the process pool (ordered map → byte-identical layout to the
+    in-memory path modulo row-group boundaries). Returns seeds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    domains = [f"example{d}.com" for d in range(n_domains)]
+    n_pages: dict[str, int] = {}
+    remaining = total_pages
+    n_pages[domains[0]] = max(int(total_pages * hot_share), 1)
+    remaining -= n_pages[domains[0]]
+    weights = [1.0 / (k + 1) for k in range(1, n_domains)]
+    wsum = sum(weights) or 1.0
+    for k, d in enumerate(domains[1:]):
+        n_pages[d] = max(int(remaining * weights[k] / wsum), 1)
+
+    tasks = [(d_i, dom, n_pages, domains, seed, body_words)
+             for d_i, dom in enumerate(domains)]
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ])
+    import concurrent.futures as cf
+    writer = pq.ParquetWriter(path, schema)
+    try:
+        with cf.ProcessPoolExecutor(max_workers=min(16, len(tasks))) as ex:
+            for _d_i, rows in ex.map(_gen_domain, tasks):
+                table = pa.table({
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }, schema=schema)
+                writer.write_table(table, row_group_size=row_group_size)
+                del table, rows
+    finally:
+        writer.close()
+
+    seeds = [f"http://{domains[0]}/", f"http://{domains[0]}/p/1.html"]
+    for d in (1, 2, 3):
+        if n_domains > d:
+            seeds.append(f"http://{domains[d]}/")
+    return seeds
 
 
 def write_parquet(rows, path: str, row_group_size: int = 1024):

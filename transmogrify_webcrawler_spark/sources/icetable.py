@@ -179,7 +179,10 @@ class SnapshotStore:
             if schema is None:
                 raise KeyError(f"table {name} has no snapshot and no schema")
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if schema is not None:  # skip footer-based schema inference — the
+            reader = reader.schema(schema)  # manifest IS the schema authority
+        return reader.parquet(*paths)
 
     def read_blob(self, name: str) -> bytes | None:
         m = self.current_manifest()
