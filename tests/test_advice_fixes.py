@@ -1,0 +1,114 @@
+"""Round-3 hardening: robots root-path-only winner rule, deterministic
+corpus dedup tie-break, loud bloom state-mismatch failure, empty-roots scope
+semantics (ADVICE.md round 2)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+
+def _crawler(spark, tmp_path):
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler,
+    )
+    return SparkCrawler(spark, str(tmp_path / "store"), SparkCrawlConfig())
+
+
+TS = datetime(2026, 1, 1)
+ROOT_ROBOTS = b"User-agent: *\nDisallow: /private/\n"
+DEEP_ROBOTS = b"User-agent: *\nDisallow: /\n"
+
+
+def test_deep_robots_never_shadows_root(spark, tmp_path):
+    """A mirror copy at /z/robots.txt sorts lexically ABOVE /robots.txt
+    (z > r) — under the old endswith-only rule it would win the per-domain
+    max() and block the whole domain. Root-path restriction must keep the
+    real root file the winner, in BOTH engines."""
+    rows = [
+        ("http://example.com/robots.txt", TS, ROOT_ROBOTS, "", "en"),
+        ("http://example.com/z/robots.txt", TS, DEEP_ROBOTS, "", "en"),
+        ("http://example.com/", TS, b"<html></html>", "", "en"),
+    ]
+    got = _crawler(spark, tmp_path).robots_table(
+        _pages_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["robots_txt"] == ROOT_ROBOTS.decode()
+
+    from transmogrify_webcrawler_spark.sources.corpus import robots_best_map
+    omap = robots_best_map(
+        [dict(url=u, warc_ts=t, html=h) for u, t, h, _, _ in rows])
+    assert omap == {"example.com": ROOT_ROBOTS.decode()}
+
+
+def test_subdomain_root_robots_still_wins(spark, tmp_path):
+    """www.example.com/robots.txt is a ROOT-path file on another host of the
+    same registered domain — it stays in the reduction (www > bare wins,
+    the pinned winner rule)."""
+    www = b"User-agent: *\nDisallow: /w/\n"
+    rows = [
+        ("http://example.com/robots.txt", TS, ROOT_ROBOTS, "", "en"),
+        ("http://www.example.com/robots.txt", TS, www, "", "en"),
+    ]
+    got = _crawler(spark, tmp_path).robots_table(
+        _pages_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["robots_txt"] == www.decode()
+
+    from transmogrify_webcrawler_spark.sources.corpus import robots_best_map
+    omap = robots_best_map(
+        [dict(url=u, warc_ts=t, html=h) for u, t, h, _, _ in rows])
+    assert omap == {"example.com": www.decode()}
+
+
+def test_prepare_pages_exact_duplicates_deterministic(spark, tmp_path):
+    """Exact duplicate corpus rows (same url, warc_ts, html) collapse to ONE
+    row; the latest capture still wins per url_canon; no
+    monotonically_increasing_id anywhere in the plan (the tie-break id is a
+    content digest, stable across recomputation)."""
+    old, new = b"<html>old</html>", b"<html>new</html>"
+    rows = [
+        ("http://example.com/p/1.html", TS, old, "", "en"),
+        ("http://example.com/p/1.html", TS, old, "", "en"),  # exact dup
+        ("http://example.com/p/1.html", datetime(2026, 1, 2), new, "", "en"),
+        ("http://example.com/p/2.html", TS, old, "", "en"),
+    ]
+    prepared = _crawler(spark, tmp_path).prepare_pages(_pages_df(spark, rows))
+    got = {r["url_canon"]: bytes(r["html"]) for r in prepared.collect()}
+    assert prepared.count() == 2
+    assert got["http://example.com/p/1.html"] == new
+    assert got["http://example.com/p/2.html"] == old
+    assert "monotonically" not in prepared._jdf.queryExecution().toString()
+
+
+def test_bloom_probe_raises_on_fragment_size_mismatch(spark):
+    """Validated probe state must never mismatch — a wrong-sized fragment is
+    a latent state bug and must fail LOUD, not silently convert to false
+    negatives (re-crawled seen URLs)."""
+    from transmogrify_webcrawler_spark.operators.dedup import (
+        bloom_probe, build_bloom_fragments,
+    )
+    urls = spark.createDataFrame(
+        [(f"http://example.com/p/{i}.html",) for i in range(50)],
+        "url_canon string")
+    shards = build_bloom_fragments(urls, n_shards=4, nbytes=128)
+    with pytest.raises(Exception, match="mismatch|128"):
+        bloom_probe(urls, shards, n_shards=4, nbytes=256).collect()
+
+
+def test_empty_roots_scope_is_false(spark):
+    """roots=() means nothing is in scope (legacy lit(False)) — the
+    host-form fast path must not turn it into isin() with zero args."""
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        all_host_form, in_scope_expr,
+    )
+    assert not all_host_form(())
+    df = spark.createDataFrame(
+        [("http://example.com/a.html",)], "dst string")
+    assert df.filter(in_scope_expr(F.col("dst"), ())).count() == 0

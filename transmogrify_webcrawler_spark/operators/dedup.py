@@ -162,8 +162,18 @@ def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int,
             acc = np.zeros(nbytes, dtype=np.uint8)
             for b in sdf["filter_bytes"]:
                 frag = np.frombuffer(b, dtype=np.uint8)
-                if frag.size == acc.size:
-                    acc |= frag
+                if frag.size != acc.size:
+                    # inside the PROBE, state is supposed to be validated
+                    # (bloom_params manifest check) — a mismatched fragment
+                    # here is a latent state bug, and silently skipping it
+                    # would turn into false negatives (seen URLs re-crawled,
+                    # duplicate emission). Fail loud; only the COMPACTION
+                    # path (merge_bloom_fragments) tolerates stale sizes.
+                    raise ValueError(
+                        f"bloom shard {key[0]}: fragment of {frag.size} B "
+                        f"!= configured {acc.size} B — shard table/state "
+                        "mismatch; rebuild the shard table")
+                acc |= frag
             h1, h2 = _np_hashes(cdf)
             flags = _test_bits(acc, h1, h2)
         out = cdf[cand_cols].copy()

@@ -76,7 +76,13 @@ class _Extractor(HTMLParser):
                 # F6 [UP webchecker -n]: name anchors are collected by
                 # default (pinned as a self-link — canonicalize defrags, so
                 # `<a name=x>` resolves to the page's own canonical URL);
-                # nonames=True drops them.
+                # nonames=True drops them. PINNED DEVIATION (SURVEY §7.3):
+                # upstream webchecker records name anchors as fragment
+                # TARGETS for link checking, not as outgoing links — with
+                # the reference checkout empty that behavior is
+                # unverifiable, so this engine pins the self-link rendering
+                # (defrag makes the target the page itself) and keeps both
+                # engines + the -n knob in exact agreement.
                 u = join_and_canonicalize(self.base, "#" + d["name"])
                 if u:
                     self.links.append(u)

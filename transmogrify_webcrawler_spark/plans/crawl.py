@@ -149,8 +149,12 @@ def all_host_form(roots: tuple[str, ...]) -> bool:
     `host_root(url) == root`, so scope checks and site resolution collapse
     from a |roots|-deep startswith OR/CASE chain (240+ exprs with dense
     seeds — measured seconds of per-wave analysis/codegen) to ONE
-    hash-set membership / ONE concat."""
-    return all(r.count("/") == 3 and r.endswith("/") for r in roots)
+    hash-set membership / ONE concat. Empty roots must NOT take this path:
+    all() over () is vacuously True and isin() with zero args errors at
+    analysis — the legacy chain's lit(False) (nothing in scope) is the
+    correct empty-roots semantics."""
+    return bool(roots) and all(
+        r.count("/") == 3 and r.endswith("/") for r in roots)
 
 
 def in_scope_expr(url, roots: tuple[str, ...]):
@@ -221,15 +225,22 @@ class SparkCrawler:
         url_canon).
 
         Scale-critical shape: the winner is chosen on SKINNY columns
-        (url_canon, warc_ts, url, row id) via a map-side-combinable
+        (url_canon, warc_ts, url, row digest) via a map-side-combinable
         max(struct(...)), then joined back — the fat `html BINARY` column
-        never enters a shuffle. The row id tie-breaks EXACT duplicate corpus
-        rows (same url, timestamp, body — common in dirty crawl data) so
-        exactly one survives the join-back; content is identical by
-        definition, so any winner yields byte-identical output."""
+        never enters a shuffle. The tie-break id is a DETERMINISTIC content
+        digest (xxhash64 of the whole row), never
+        monotonically_increasing_id: mIID is documented nondeterministic
+        across recomputations, and in cache_corpus='skinny' the canon branch
+        is re-derived EVERY WAVE against winners persisted once — divergent
+        ids would silently drop url_canon groups from the corpus. EXACT
+        duplicate corpus rows (same url, timestamp, body — common in dirty
+        crawl data) share the digest, so the join-back is followed by a
+        same-key dropDuplicates (no extra shuffle: the join already
+        clustered on (url_canon, _rid)); content is identical by definition,
+        so any survivor yields byte-identical output."""
         canon = pages.select("url", "warc_ts", "html") \
             .withColumn("url_canon", canonicalize_udf("url")) \
-            .withColumn("_rid", F.monotonically_increasing_id())
+            .withColumn("_rid", F.xxhash64("url", "warc_ts", "html"))
         winners = (
             canon.select("url_canon", "warc_ts", "url", "_rid")
             .groupBy("url_canon")
@@ -238,15 +249,19 @@ class SparkCrawler:
         )
         if self.cfg.cache_corpus == "skinny":
             winners = winners.persist()  # the only thing pinned: no bodies
-        return canon.join(winners, ["url_canon", "_rid"]).drop("_rid")
+        return (canon.join(winners, ["url_canon", "_rid"])
+                .dropDuplicates(["url_canon", "_rid"]).drop("_rid"))
 
     def robots_table(self, pages: DataFrame) -> DataFrame:
-        """S6: robots universe = pages rows whose RAW url ends in
-        /robots.txt (the oracle's own pinned prefilter — sources/corpus.py
-        robots_best), reduced to EXACTLY one row per registered_domain (the
-        normal Common-Crawl case has robots.txt on several hosts of one
-        domain, e.g. www.example.com and example.com). Pinned winner:
-        max (url_canon, warc_ts, robots_txt).
+        """S6: robots universe = pages rows whose canonical PATH is exactly
+        /robots.txt — ROOT-path only (a deep mirror copy like
+        http://host/mirror/robots.txt must never shadow the real root file;
+        the raw endswith is kept as the cheap pushdown-able prefilter, the
+        canonical-path equality is the binding rule, mirrored in
+        sources/corpus.py robots_best). Reduced to EXACTLY one row per
+        registered_domain (the normal Common-Crawl case has robots.txt on
+        several hosts of one domain, e.g. www.example.com and example.com).
+        Pinned winner: max (url_canon, warc_ts, robots_txt).
 
         Takes the RAW pages table on purpose: the raw-url filter is a plain
         Catalyst predicate, so finding ~one row per domain costs one
@@ -258,6 +273,7 @@ class SparkCrawler:
             .filter(F.col("url").endswith("/robots.txt"))
             .select(canonicalize_udf("url").alias("url_canon"), "warc_ts",
                     F.decode("html", "UTF-8").alias("robots_txt"))
+            .filter(F.parse_url("url_canon", F.lit("PATH")) == "/robots.txt")
             .withColumn("registered_domain",
                         registered_domain_udf("url_canon"))
         )

@@ -240,20 +240,31 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
         seeds.append(f"http://{domains[2]}/")  # robots 'Disallow: /' domain
     if n_domains > 3:
         seeds.append(f"http://{domains[3]}/")
-    # one robots row per REGISTERED domain, pinned winner =
-    # max (url_canon, warc_ts, body) — mirrors the Spark robots_table
-    # groupBy(registered_domain).max(struct) exactly
+    robots_map = robots_best_map(rows)
+    return rows, seeds, robots_map
+
+
+def robots_best_map(rows) -> dict[str, str]:
+    """One robots body per REGISTERED domain, pinned winner =
+    max (url_canon, warc_ts, body) — mirrors the Spark robots_table
+    groupBy(registered_domain).max(struct) exactly. ROOT-path only: a deep
+    /mirror/robots.txt copy never enters the winner reduction (same rule as
+    plans/crawl.py robots_table's canonical-path filter), so it can never
+    lexically shadow the real root file for the whole domain."""
+    from urllib.parse import urlsplit
+
     from ..oracle.urlnorm import registered_domain
     robots_best: dict[str, tuple] = {}
     for r in rows:
         if r["url"].endswith("/robots.txt"):
             c = canonicalize(r["url"])
+            if urlsplit(c).path != "/robots.txt":
+                continue
             dom = registered_domain(c)
             key = (c, r["warc_ts"], r["html"].decode("utf-8"))
             if dom not in robots_best or key > robots_best[dom]:
                 robots_best[dom] = key
-    robots_map = {dom: key[2] for dom, key in robots_best.items()}
-    return rows, seeds, robots_map
+    return {dom: key[2] for dom, key in robots_best.items()}
 
 
 DEFAULT_IGNORE = (r"/private/", r"\.zip$")
