@@ -44,6 +44,58 @@ def test_wave_topk_is_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_range_topk_no_single_task_merge(spark):
+    """Scale path (wave_size > single_pass_limit): exact same row set as
+    orderBy().limit(), with NO TakeOrderedAndProject (driver merge of
+    n_partitions x k rows) and NO global single-partition Sort anywhere in
+    the plan — only range partitioning + a boundary-partition window."""
+    from transmogrify_webcrawler_spark.operators.frontier import (
+        wave_topk, with_priority)
+    from transmogrify_webcrawler_spark.plans.crawl import FRONTIER_SCHEMA
+
+    rows = [(f"http://d{i % 7}.com/p/{i}", i % 5, i % 11, f"d{i % 7}.com")
+            for i in range(500)]
+    fr = with_priority(spark.createDataFrame(rows, FRONTIER_SCHEMA))
+    caches: list = []
+    got_df = wave_topk(fr, 123, single_pass_limit=0, caches=caches)
+    plan = _plan(got_df)
+    assert "TakeOrderedAndProject" not in plan
+    assert "rangepartitioning" in plan.replace(" ", "").lower()
+    got = {(r["url_canon"]) for r in got_df.collect()}
+    want = {r["url_canon"] for r in
+            fr.orderBy("priority", "url_canon").limit(123).collect()}
+    assert got == want and len(got) == 123
+    # fewer rows than k: keeps everything
+    caches2: list = []
+    assert wave_topk(fr, 10_000, single_pass_limit=0,
+                     caches=caches2).count() == 500
+    for c in caches + caches2:
+        c.unpersist()
+
+
+def test_crawl_with_range_topk_identical(spark, pages_df, corpus,
+                                         oracle_result, tmp_path):
+    """Forcing the range-partitioned top-k through the whole crawl loop
+    (topk_single_pass_limit=0) yields the exact oracle crawl — set AND
+    sortorder."""
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler,
+    )
+
+    ocfg = oracle_result["cfg"]
+    cfg = SparkCrawlConfig(
+        wave_size=ocfg.wave_size, per_domain_budget=ocfg.per_domain_budget,
+        maxsize=ocfg.maxsize, ignore=ocfg.ignore, use_bloom=False,
+        n_salts=4, topk_single_pass_limit=0,
+    )
+    crawler = SparkCrawler(spark, str(tmp_path / "store"), cfg)
+    final = crawler.run(pages_df, corpus["seeds"])
+    got = {r["url_canon"]: r["sortorder"] for r in final.collect()}
+    want = {r["url_canon"]: r["sortorder"]
+            for r in oracle_result["crawled"]}
+    assert got == want
+
+
 def test_dedup_exact_has_partial_aggregation(spark):
     from transmogrify_webcrawler_spark.operators.textops import dedup_exact
 

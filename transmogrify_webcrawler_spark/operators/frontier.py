@@ -88,10 +88,75 @@ def politeness_budget(
     return out.drop("dom_budget") if domain_budgets is not None else out
 
 
-def wave_topk(frontier: DataFrame, wave_size: int) -> DataFrame:
-    """W2/O2: global top-wave_size by (priority, url_canon) —
-    TakeOrderedAndProject, not a full sort."""
-    return frontier.orderBy("priority", "url_canon").limit(wave_size)
+def wave_topk(frontier: DataFrame, wave_size: int,
+              single_pass_limit: int = 2_000_000,
+              caches: list | None = None) -> DataFrame:
+    """W2/O2: global top-wave_size by (priority, url_canon).
+
+    Two regimes:
+    - wave_size <= single_pass_limit: orderBy().limit() —
+      TakeOrderedAndProject (per-partition k-heaps, driver merge of
+      n_partitions x k rows). Optimal for the configured 10^5-10^6 waves.
+    - wave_size > single_pass_limit: TakeOrderedAndProject's driver merge
+      would hold n_partitions x wave_size rows — a straggler/OOM at a
+      10^10-URL frontier. Switch to range_topk: range-partition by the sort
+      key, count per partition (P-row collect), keep whole partitions below
+      the cutoff and rank only inside the single boundary partition. No
+      task ever holds more than ~n/P rows and the driver only ever sees P
+      counts. Costs one extra small job per wave (amortized at that size).
+
+    ``caches``: optional list the scale path appends its persisted
+    intermediate to — the caller unpersists after the wave commits."""
+    if wave_size <= single_pass_limit:
+        return frontier.orderBy("priority", "url_canon").limit(wave_size)
+    return range_topk(frontier, wave_size, caches=caches)
+
+
+def range_topk(df: DataFrame, k: int, n_parts: int | None = None,
+               caches: list | None = None,
+               keys: tuple[str, ...] = ("priority", "url_canon")
+               ) -> DataFrame:
+    """Exact global top-k without a single-reducer merge: repartitionByRange
+    on the sort keys (sampled range boundaries — Spark's own total-order
+    machinery), then per-partition counts decide which partitions are wholly
+    inside the top-k; only the ONE boundary partition is ranked (a window
+    over <= n/P rows). Returns the exact same ROW SET as
+    orderBy(*keys).limit(k) (url_canon unique => no cross-boundary ties).
+
+    The ranged intermediate is persisted so the count job and the downstream
+    consumers see the SAME materialized partitioning (spark_partition_id is
+    only meaningful against one materialization; MEMORY_AND_DISK default
+    means eviction-triggered resampling can't occur short of executor
+    loss)."""
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                               "200"))
+    ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in keys])
+                .withColumn("_pid", F.spark_partition_id())
+                .persist())
+    if caches is not None:
+        caches.append(ranged)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n"))
+                       .collect())
+    cum, cutoff, remainder = 0, None, 0
+    for pid, n in counts:
+        if cum + n >= k:
+            cutoff, remainder = pid, k - cum
+            break
+        cum += n
+    if cutoff is None:  # fewer than k rows in total: keep everything
+        return ranged.drop("_pid")
+    whole = ranged.filter(F.col("_pid") < cutoff)
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    boundary = (
+        ranged.filter(F.col("_pid") == cutoff)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= remainder)
+        .drop("_r")
+    )
+    return whole.unionByName(boundary).drop("_pid")
 
 
 def assign_sortorder(emitted: DataFrame, offset: int) -> DataFrame:

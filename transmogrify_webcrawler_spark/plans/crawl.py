@@ -84,6 +84,12 @@ class SparkCrawlConfig:
     # domain's wave budget at wave_seconds//d (pinned, oracle _domain_budget)
     wave_seconds: float = 30.0
     n_salts: int = 8
+    # above this wave_size the global top-k switches from
+    # TakeOrderedAndProject (driver merges n_partitions x k rows — a
+    # straggler/OOM at a 10^10-URL frontier) to the range-partitioned exact
+    # top-k (operators.frontier.range_topk: no task holds more than ~n/P
+    # rows, driver sees only P counts; costs one extra small job per wave)
+    topk_single_pass_limit: int = 2_000_000
     use_bloom: bool = True
     n_bloom_shards: int = 32
     # fixed shard size so incremental OR-merges line up. 128 KiB/shard x 32
@@ -355,7 +361,9 @@ class SparkCrawler:
         f = with_priority(frontier)
         f = politeness_budget(f, cfg.per_domain_budget, cfg.n_salts,
                               domain_budgets)
-        selected = wave_topk(f, budget).persist()
+        topk_caches: list = []
+        selected = wave_topk(f, budget, cfg.topk_single_pass_limit,
+                             caches=topk_caches).persist()
 
         # --- robots gate (dim join) + fetch join -----------------------------
         sel = selected.join(robots, "registered_domain", "left")
@@ -547,6 +555,8 @@ class SparkCrawler:
         cand.unpersist()
         new_entries.unpersist()
         frontier.unpersist()
+        for c in topk_caches:
+            c.unpersist()
         # every selected row lands in exactly one of crawled/errors
         return counts["crawled"] + counts["errors"]
 
