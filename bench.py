@@ -173,6 +173,8 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
             agg[t["step"]] += t["sec"]
         print("DEBUG steps:", dict(agg), file=sys.stderr)
         print("DEBUG timings:", json.dumps(crawler.timings), file=sys.stderr)
+        print("DEBUG writes:", json.dumps(crawler.write_timings),
+              file=sys.stderr)
     waves = crawler.store.current_wave() + 1
     shutil.rmtree(store, ignore_errors=True)
     import collections

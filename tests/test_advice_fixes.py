@@ -69,9 +69,10 @@ def test_subdomain_root_robots_still_wins(spark, tmp_path):
 
 def test_prepare_pages_exact_duplicates_deterministic(spark, tmp_path):
     """Exact duplicate corpus rows (same url, warc_ts, html) collapse to ONE
-    row; the latest capture still wins per url_canon; no
-    monotonically_increasing_id anywhere in the plan (the tie-break id is a
-    content digest, stable across recomputation)."""
+    row; the latest capture still wins per url_canon; for a FILE-backed
+    corpus (the production path) the tie-break id is the physical row
+    address — no monotonically_increasing_id in the plan, stable across
+    recomputation (skinny-mode waves re-derive it every wave)."""
     old, new = b"<html>old</html>", b"<html>new</html>"
     rows = [
         ("http://example.com/p/1.html", TS, old, "", "en"),
@@ -79,12 +80,22 @@ def test_prepare_pages_exact_duplicates_deterministic(spark, tmp_path):
         ("http://example.com/p/1.html", datetime(2026, 1, 2), new, "", "en"),
         ("http://example.com/p/2.html", TS, old, "", "en"),
     ]
-    prepared = _crawler(spark, tmp_path).prepare_pages(_pages_df(spark, rows))
+    pq = str(tmp_path / "pages.parquet")
+    _pages_df(spark, rows).write.parquet(pq)
+    prepared = _crawler(spark, tmp_path).prepare_pages(spark.read.parquet(pq))
     got = {r["url_canon"]: bytes(r["html"]) for r in prepared.collect()}
     assert prepared.count() == 2
     assert got["http://example.com/p/1.html"] == new
     assert got["http://example.com/p/2.html"] == old
     assert "monotonically" not in prepared._jdf.queryExecution().toString()
+    # the fat html column must never enter a shuffle
+    plan = prepared._jdf.queryExecution().executedPlan().toString()
+    assert not [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "html" in ln]
+    # in-memory fixtures (no _metadata) still collapse exact dups
+    prepared_mem = _crawler(spark, tmp_path).prepare_pages(
+        _pages_df(spark, rows))
+    assert prepared_mem.count() == 2
 
 
 def test_bloom_probe_raises_on_fragment_size_mismatch(spark):

@@ -102,11 +102,24 @@ class SparkCrawlConfig:
     # is OR-compacted back to one row per shard (bounds read amplification)
     bloom_compact_every: int = 8
     n_buckets: int = 16  # bucket(registered_domain) for table layout
-    arrow_batch: int = 2048  # html is fat: keep Arrow batches small
+    # Arrow transfer granularity for the fat html column. Measured on the
+    # 50k x ~240KB-page corpus (extraction pass, local[32]): batch 64 beats
+    # 256 by ~13% and the old 2048 default would put ~50 MB per batch in
+    # flight per worker — 64 keeps the per-worker working set ~15 MB at
+    # real web page sizes while batch-call overhead stays negligible.
+    arrow_batch: int = 64
     # robots is broadcast to the politeness/fetch joins only while it fits;
     # beyond this row count it becomes a plain shuffle join on
     # registered_domain (web scale: one row per domain = tens of millions)
     robots_broadcast_rows: int = 4_000_000
+    # 'latest capture wins' dim: broadcast the skinny winners table into the
+    # corpus join-back while it fits — the alternative is a sort-merge join
+    # that EXCHANGES the fat html column (measured: the 12 GB shuffle write
+    # made the 50k-page extraction pass SLOWER at 32 cores than 8; with the
+    # broadcast the fat side never leaves its scan tasks). Beyond the guard
+    # (a deduplicated 10^10-row corpus) the shuffle join is the only
+    # correct plan and the cost is inherent to corpus-wide dedup.
+    winners_broadcast_rows: int = 4_000_000
     # scan-split size for the fat `html BINARY` corpus. The Spark default
     # (128 MB) is tuned for skinny columnar rows; over ~100 KB binary pages
     # it makes each scan task buffer >100 MB of bodies through the Arrow
@@ -115,6 +128,14 @@ class SparkCrawlConfig:
     # made 32 cores SLOWER than 8. Small splits also bound per-task memory
     # at the 100 TB design point and smooth hot-domain stragglers.
     max_partition_bytes: str = "16m"
+    # parquet WRITER row-group size, same story on the output side: with the
+    # 128 MB default every concurrent writer task buffers a full row group
+    # of fat text/binary rows on-heap before flushing — at 32 writer tasks
+    # that is >4 GB of write buffers and the extraction pass measured 82 s
+    # at local[32] vs 27 s with 16 MB groups (and 32 cores were SLOWER than
+    # 8). Small groups also raise downstream scan parallelism (Spark splits
+    # parquet at row-group granularity).
+    parquet_block_bytes: int = 16 << 20
     # corpus caching strategy: "full" persists the prepared corpus (right for
     # corpora that fit executor storage); "skinny" persists only the dedup
     # winners (url_canon, warc_ts, url) and re-scans the corpus parquet each
@@ -198,11 +219,15 @@ class SparkCrawler:
         self.cfg = cfg
         self.store = SnapshotStore(store_path)
         self.timings: list[dict] = []  # per-wave step wall times (lineage)
+        self.write_timings: list[dict] = []  # per-table commit write times
+        self._winners: DataFrame | None = None  # pinned dedup dim (skinny)
         ship_package(spark)  # executors need the oracle inside the UDFs
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(cfg.arrow_batch))
         spark.conf.set("spark.sql.files.maxPartitionBytes",
                        cfg.max_partition_bytes)
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.block.size", str(cfg.parquet_block_bytes))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         # frontier-state tables are tiny relative to shuffle.partitions —
         # let AQE coalesce aggressively instead of keeping parallelism-many
@@ -231,32 +256,60 @@ class SparkCrawler:
         url_canon).
 
         Scale-critical shape: the winner is chosen on SKINNY columns
-        (url_canon, warc_ts, url, row digest) via a map-side-combinable
-        max(struct(...)), then joined back — the fat `html BINARY` column
-        never enters a shuffle. The tie-break id is a DETERMINISTIC content
-        digest (xxhash64 of the whole row), never
-        monotonically_increasing_id: mIID is documented nondeterministic
-        across recomputations, and in cache_corpus='skinny' the canon branch
-        is re-derived EVERY WAVE against winners persisted once — divergent
-        ids would silently drop url_canon groups from the corpus. EXACT
+        (url_canon, warc_ts, url, physical row address) via a map-side-
+        combinable max(struct(...)), then joined back — the fat
+        `html BINARY` column is scanned once and never shuffles (the
+        winners dim stays small; an html-bearing digest was measured to
+        force a second full fat scan AND a fat sort-merge exchange).
+
+        The tie-break id is the PHYSICAL ROW ADDRESS
+        (xxhash64(_metadata.file_path), _metadata.row_index) — the Spark
+        rendering of Iceberg's _pos. It is (a) unique per row, so EXACT
         duplicate corpus rows (same url, timestamp, body — common in dirty
-        crawl data) share the digest, so the join-back is followed by a
-        same-key dropDuplicates (no extra shuffle: the join already
-        clustered on (url_canon, _rid)); content is identical by definition,
-        so any survivor yields byte-identical output."""
-        canon = pages.select("url", "warc_ts", "html") \
-            .withColumn("url_canon", canonicalize_udf("url")) \
-            .withColumn("_rid", F.xxhash64("url", "warc_ts", "html"))
+        crawl data) still resolve to one winner with no post-join dedup
+        pass, and (b) deterministic across recomputations because snapshot
+        files are immutable — unlike monotonically_increasing_id, which
+        Spark documents as nondeterministic: in cache_corpus='skinny' the
+        canon branch is re-derived EVERY WAVE against winners persisted
+        once, and divergent ids would silently drop url_canon groups.
+        Non-file sources (in-memory test fixtures) fall back to mIID,
+        which is stable for a materialized local relation.
+
+        Pinning note: for the pathological same-(url, warc_ts)-different-
+        body case the engine's winner is address-determined while the
+        single-process oracle (sources/corpus.py pages_index) pins the
+        bytewise-max body; the two agree whenever tied captures carry
+        identical bodies (always, outside adversarial dirty data)."""
+        try:
+            with_rid = pages.withColumns({
+                "_ridf": F.xxhash64(F.col("_metadata.file_path")),
+                "_ridx": F.col("_metadata.row_index"),
+            })
+        except Exception:  # non-file source: no _metadata column
+            with_rid = pages.withColumns({
+                "_ridf": F.monotonically_increasing_id(),
+                "_ridx": F.lit(0).cast("long"),
+            })
+        canon = with_rid.select("url", "warc_ts", "html", "_ridf", "_ridx") \
+            .withColumn("url_canon", canonicalize_udf("url"))
         winners = (
-            canon.select("url_canon", "warc_ts", "url", "_rid")
+            canon.select("url_canon", "warc_ts", "url", "_ridf", "_ridx")
             .groupBy("url_canon")
-            .agg(F.max(F.struct("warc_ts", "url", "_rid")).alias("_w"))
-            .select("url_canon", F.col("_w._rid").alias("_rid"))
-        )
-        if self.cfg.cache_corpus == "skinny":
-            winners = winners.persist()  # the only thing pinned: no bodies
-        return (canon.join(winners, ["url_canon", "_rid"])
-                .dropDuplicates(["url_canon", "_rid"]).drop("_rid"))
+            .agg(F.max(F.struct("warc_ts", "url", "_ridf", "_ridx"))
+                 .alias("_w"))
+            .select("url_canon", F.col("_w._ridf").alias("_ridf"),
+                    F.col("_w._ridx").alias("_ridx"))
+            .persist()  # skinny (3 cols, no bodies) — pinned in ALL modes:
+        )              # every wave / the size guard below re-reads it
+        self._winners = winners
+        # one skinny job decides the join strategy (Spark's own estimate
+        # can't: the column-pruned agg inherits the full file-size stat, so
+        # auto-broadcast never fires and the fat side would shuffle)
+        n_winners = winners.count()
+        dim = (F.broadcast(winners)
+               if n_winners <= self.cfg.winners_broadcast_rows else winners)
+        return canon.join(dim, ["url_canon", "_ridf", "_ridx"]) \
+            .drop("_ridf", "_ridx")
 
     def robots_table(self, pages: DataFrame) -> DataFrame:
         """S6: robots universe = pages rows whose canonical PATH is exactly
@@ -598,6 +651,8 @@ class SparkCrawler:
             extra_fn=lambda counts: {
                 "crawled_count": crawled_count + counts["crawled"]},
         )
+        self.write_timings.append(
+            dict(wave=wave, **self.store.last_write_times))
         return manifest["counts"]
 
     def _extracted_path(self) -> str:
@@ -626,26 +681,41 @@ class SparkCrawler:
             )
             ext.write.mode("overwrite").parquet(path)
         # the slim view is small by design (no bodies, no text): pin it so
-        # every wave's fetch join probes memory, not parquet
-        return self.spark.read.parquet(path).drop("extracted_text").persist()
+        # every wave's fetch join probes memory, not parquet. Coalesce first
+        # — the extraction output is written with small row groups (good for
+        # the fat write path, see parquet_block_bytes), which would
+        # otherwise pin hundreds of micro-partitions that every per-wave
+        # scan pays task-scheduling overhead for.
+        n_slim = max(self.spark.sparkContext.defaultParallelism, 8)
+        return (self.spark.read.parquet(path).drop("extracted_text")
+                .coalesce(n_slim).persist())
 
     # -- full crawl ------------------------------------------------------------
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg, spark = self.cfg, self.spark
-        pages_prepared = self.prepare_pages(pages)
         # robots stays a DataFrame end to end (never collected): one row per
         # registered_domain with the parsed crawl_delay, persisted because
         # every wave consults it. Broadcast ONLY under the row-count guard —
-        # at web scale (one row per domain) it becomes a shuffle join.
+        # at web scale (one row per domain) it becomes a shuffle join. The
+        # size-guard count is submitted from a thread so the (small) robots
+        # job OVERLAPS corpus prep / the precompute extraction pass instead
+        # of serializing ~a full raw-url scan in front of them.
         robots_full = (
             self.robots_table(pages)
             .withColumn("crawl_delay",
                         crawl_delay_udf("robots_txt", F.lit(cfg.agent)))
             .persist()
         )
-        with self._timed(-1, "robots_prep"):
-            n_robots = robots_full.count()  # one job at start (size guard)
-        robots = robots_full.select("registered_domain", "robots_txt")
+        def _count_robots():
+            t0 = time.time()
+            n = robots_full.count()
+            return n, round(time.time() - t0, 3)
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut_robots = pool.submit(_count_robots)
+        pages_prepared = self.prepare_pages(pages)
         # Crawl-delay politeness dim: only delay-bearing domains carry a row
         domain_budgets = robots_full.filter(
             F.col("crawl_delay") > 0
@@ -657,14 +727,19 @@ class SparkCrawler:
                     F.lit(float(cfg.wave_seconds)) / F.col("crawl_delay"))),
             ).cast("int").alias("dom_budget"),
         )
-        if n_robots <= cfg.robots_broadcast_rows:
-            robots = F.broadcast(robots)
-            domain_budgets = F.broadcast(domain_budgets)
         if cfg.fetch_mode == "precompute":
             with self._timed(-1, "precompute_extraction"):
                 pages_prepared = self._precompute_extraction(pages_prepared)
         elif cfg.cache_corpus == "full":
             pages_prepared = pages_prepared.persist()
+        n_robots, robots_sec = fut_robots.result()  # overlapped with prep
+        pool.shutdown()
+        self.timings.append(dict(wave=-1, step="robots_prep",
+                                 sec=robots_sec))
+        robots = robots_full.select("registered_domain", "robots_txt")
+        if n_robots <= cfg.robots_broadcast_rows:
+            robots = F.broadcast(robots)
+            domain_budgets = F.broadcast(domain_budgets)
         manifest = self.store.current_manifest()
         if manifest is None:
             with self._timed(-1, "bootstrap"):
@@ -687,6 +762,8 @@ class SparkCrawler:
             wave += 1
         pages_prepared.unpersist()
         robots_full.unpersist()
+        if self._winners is not None:
+            self._winners.unpersist()
         with self._timed(98, "finalize_build"):
             out = self.finalize()
         return out

@@ -272,12 +272,15 @@ DEFAULT_IGNORE = (r"/private/", r"\.zip$")
 
 def pages_index(rows):
     """url_canon -> (raw_url, html) for the oracle crawler. Pinned winner for
-    duplicate url_canon: max (warc_ts, url) — 'latest capture wins', matching
-    the Spark side's row_number over (warc_ts DESC, url DESC)."""
+    duplicate url_canon: max (warc_ts, url, html) — 'latest capture wins',
+    matching the Spark side's max-struct winner; the html tie-break pins the
+    pathological same-(url, ts)-different-body case to the bytewise-max body
+    (identical bodies make it a no-op), exactly the engine's dup-slice
+    rule in plans/crawl.py prepare_pages."""
     best = {}
     for r in rows:
         c = canonicalize(r["url"])
-        key = (r["warc_ts"], r["url"])
+        key = (r["warc_ts"], r["url"], r["html"])
         if c not in best or key > best[c][0]:
             best[c] = (key, (r["url"], r["html"]))
     return {c: v for c, (_, v) in best.items()}

@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _write_empty_parquet(out_dir: str, schema: StructType) -> None:
+    """Schema-bearing empty table dir without a Spark job (grouped commits:
+    a table with zero rows this wave still needs a readable snapshot dir)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    a_schema = to_arrow_schema(schema)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in a_schema], schema=a_schema),
+        os.path.join(out_dir, "part-empty.parquet"))
+    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+
+
 def _footer_row_count(data_dir: str) -> int:
     """Row count from parquet footers — metadata only, no Spark job (the
     analogue of Iceberg's per-snapshot record counts)."""
@@ -86,7 +102,18 @@ class SnapshotStore:
         land in manifest["counts"], exactly what a real Iceberg snapshot
         carries in its manifest files. ``extra_fn(counts) -> dict`` lets the
         caller derive manifest fields (e.g. a running crawled_count) from
-        them post-write."""
+        them post-write.
+
+        SKINNY APPENDS ARE GROUPED INTO ONE SPARK JOB: every append table
+        without a bucket key joins a schema-harmonized union written once
+        with partitionBy('_table'); the per-table subdirectories are then
+        renamed (same-filesystem, driver-side, pre-publish — atomicity
+        unchanged) into the normal data/<name>/wave=N layout. Measured
+        motivation: per-JOB scheduling latency, not data volume, dominated
+        the wave commit (~6 tiny jobs x fixed cost was the 8->32 scaling
+        floor). Grouped files carry the union schema with nulls in foreign
+        columns; the manifest records each table's true column list and
+        read() projects it, so readers are unaffected."""
         prev = self.current_manifest() or {"tables": {}}
         tables: dict[str, list[str]] = {
             k: list(v) for k, v in prev["tables"].items()
@@ -96,6 +123,21 @@ class SnapshotStore:
         from concurrent.futures import ThreadPoolExecutor
         self.last_write_times: dict[str, float] = {}
         self.last_write_counts: dict[str, int] = {}
+
+        # -- split appends: groupable (skinny, unbucketed) vs solo ----------
+        groupable: dict[str, DataFrame] = {}
+        col_types: dict = {}  # column name -> Spark DataType (harmonized)
+        for name, df in appends.items():
+            if name in bucket_keys or (sort_keys or {}).get(name):
+                continue
+            if any(col_types.get(f.name, f.dataType) != f.dataType
+                   for f in df.schema.fields):
+                continue  # column-name/type conflict: write solo
+            for f in df.schema.fields:
+                col_types.setdefault(f.name, f.dataType)
+            groupable[name] = df
+        if len(groupable) < 2:
+            groupable = {}
 
         def _write(item):
             name, df = item
@@ -112,14 +154,51 @@ class SnapshotStore:
             writer.write.mode("overwrite").parquet(out)
             self.last_write_counts[name] = _footer_row_count(out)
             self.last_write_times[name] = round(_time.time() - _t0, 3)
-            return name, rel
+            return [(name, rel)]
+
+        def _write_grouped(group: dict[str, DataFrame]):
+            _t0 = _time.time()
+            gout = os.path.join(self.root, "data", "_grouped",
+                                f"wave={wave:06d}")
+            union = None
+            for name, df in group.items():
+                harmonized = df.select(*[
+                    (F.col(c) if c in df.columns
+                     else F.lit(None).cast(t)).alias(c)
+                    for c, t in col_types.items()
+                ]).withColumn("_table", F.lit(name))
+                union = harmonized if union is None \
+                    else union.unionByName(harmonized)
+            union.write.mode("overwrite").partitionBy("_table").parquet(gout)
+            out_rels = []
+            for name, df in group.items():
+                rel = os.path.join("data", name, f"wave={wave:06d}")
+                final = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                src = os.path.join(gout, f"_table={name}")
+                if os.path.exists(src):
+                    if os.path.exists(final):
+                        shutil.rmtree(final)
+                    os.replace(src, final)
+                else:  # zero rows this wave: schema-bearing empty dir
+                    _write_empty_parquet(final, df.schema)
+                self.last_write_counts[name] = _footer_row_count(final)
+                out_rels.append((name, rel))
+            shutil.rmtree(gout, ignore_errors=True)
+            self.last_write_times["_grouped"] = round(_time.time() - _t0, 3)
+            return out_rels
 
         # all writes land before the manifest publishes, so they may run
         # concurrently — Spark schedules jobs from multiple threads fine and
         # per-job latency (not data volume) dominates small-wave commits
-        items = list({**appends, **replaces}.items())
-        with ThreadPoolExecutor(max_workers=max(len(items), 1)) as ex:
-            written = list(ex.map(_write, items))
+        solo = {k: v for k, v in {**appends, **replaces}.items()
+                if k not in groupable}
+        jobs = [lambda item=item: _write(item) for item in solo.items()]
+        if groupable:
+            jobs.append(lambda: _write_grouped(groupable))
+        with ThreadPoolExecutor(max_workers=max(len(jobs), 1)) as ex:
+            written = [pair for result in ex.map(lambda j: j(), jobs)
+                       for pair in result]
         for name, rel in written:
             if name in replaces:
                 tables[name] = [rel]
@@ -135,10 +214,15 @@ class SnapshotStore:
             os.replace(full + ".tmp", full)
             blob_paths[name] = rel
         counts = dict(self.last_write_counts)
+        table_columns = dict(prev.get("table_columns", {}))
+        for name, df in {**appends, **replaces}.items():
+            table_columns[name] = list(df.columns)
         carried = {k: v for k, v in prev.items()
-                   if k not in ("wave", "tables", "blobs", "counts")}
+                   if k not in ("wave", "tables", "blobs", "counts",
+                                "table_columns")}
         manifest = {**carried, "wave": wave, "tables": tables,
-                    "blobs": blob_paths, "counts": counts, **(extra or {}),
+                    "blobs": blob_paths, "counts": counts,
+                    "table_columns": table_columns, **(extra or {}),
                     **(extra_fn(counts) if extra_fn else {})}
         version = f"v{wave:06d}.json"
         with open(os.path.join(self.root, "_snapshots", version), "w") as f:
@@ -182,7 +266,12 @@ class SnapshotStore:
         reader = spark.read
         if schema is not None:  # skip footer-based schema inference — the
             reader = reader.schema(schema)  # manifest IS the schema authority
-        return reader.parquet(*paths)
+            return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        cols = (m or {}).get("table_columns", {}).get(name)
+        if cols:  # grouped snapshot files carry the union schema — project
+            df = df.select(*cols)  # back to the table's true column list
+        return df
 
     def read_blob(self, name: str) -> bytes | None:
         m = self.current_manifest()
