@@ -753,30 +753,116 @@ def q_lsh_knn(spark, sf_dir):
 
 
 def q_session_windows(spark, sf_dir):
-    """Gap-based session windows per user (streaming-capable builder run in
-    batch mode; session_window has no DuckDB analog -> rows-only)."""
+    """Gap-based session windows per user, ORACLE-CHECKED: Spark's
+    session_window (streaming-capable builder run in batch) vs a DuckDB
+    reconstruction — a session break is a >= gap jump between consecutive
+    events (lag), session id is the running break count, end = last event
+    + gap. Pins the exact merge semantics (half-open [ts, ts+gap))."""
     from .streaming.windows import sessionize
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return sessionize(_read(spark, sf_dir, "events"), gap="30 minutes")
+    s = sessionize(_read(spark, sf_dir, "events"), gap="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "user_id", "n_events", "sum_value")
+
+
+SQL_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _be(col, nhex: int):
+    """Big-endian unsigned int as binary via hex round-trip (Catalyst-only;
+    nhex hex chars = nhex/2 bytes)."""
+    return F.unhex(F.lpad(F.hex(col), nhex, "0"))
+
+
+def _media_fixture(spark, sf_dir):
+    """Synthesized media table over documents with REAL container headers —
+    PNG IHDR / GIF screen descriptor / JPEG SOF0 frames built byte-exact
+    from doc_id, so the decoded dimensions are SQL-constructible."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    png = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A0000000D49484452")),
+        _be(did % 200 + 1, 8), _be(did % 100 + 1, 8),
+        F.lit(bytes.fromhex("0802000000")))
+    gw, gh = did % 300 + 1, did % 150 + 1
+    gif = F.concat(  # GIF screen w/h are LITTLE-endian uint16: low byte 1st
+        F.lit(b"GIF89a"),
+        _be(gw.bitwiseAND(255), 2), _be(F.shiftright(gw, 8), 2),
+        _be(gh.bitwiseAND(255), 2), _be(F.shiftright(gh, 8), 2),
+        F.lit(bytes.fromhex("000000")))
+    jpg = F.concat(
+        F.lit(bytes.fromhex("FFD8FFC0001108")),
+        _be(did % 400 + 1, 4), _be(did % 500 + 1, 4),
+        F.lit(bytes.fromhex("03010011020011030011FFD9")))
+    mp3 = F.concat(F.lit(b"ID3"),
+                   F.repeat(F.lit("x"), (did % 50).cast("int"))
+                   .cast("binary"))
+    return d.select(
+        did.alias("media_id"),
+        F.when(did % 4 == 0, png).when(did % 4 == 1, gif)
+        .when(did % 4 == 2, jpg).otherwise(mp3).alias("payload"))
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing: payloads synthesized from documents text plus
-    magic-byte rows; decode kernel is a documented stub."""
+    """Multimodal metadata, ORACLE-CHECKED: payloads carry real PNG/GIF/JPEG
+    headers built from doc_id, the mapInPandas kernel parses the actual
+    bytes (operators.multimodal.image_dimensions), and the oracle SQL
+    reconstructs every expected value arithmetically — a wrong byte offset
+    anywhere in the parser or the fixture fails the hash compare. Only
+    audio duration remains the documented stub (n_bytes/1000)."""
     from .operators.multimodal import extract_media_meta
 
-    d = _read(spark, sf_dir, "documents").limit(200)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0,
-               F.concat(F.lit(b"\xff\xd8\xff\xe0"), F.col("text").cast("binary")))
-        .when(F.col("doc_id") % 3 == 1,
-              F.concat(F.lit(b"ID3"), F.col("text").cast("binary")))
-        .otherwise(F.col("text").cast("binary")).alias("payload"),
-    )
-    return extract_media_meta(media).select(
-        "media_id", "mimetype", "n_bytes", "width", "height", "duration_s")
+    return extract_media_meta(_media_fixture(spark, sf_dir)).select(
+        "media_id", "mimetype", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "width", "height", F.round("duration_s", 6).alias("duration_s"))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'image/jpeg' ELSE 'audio/mpeg' END AS mimetype,
+       (CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
+             ELSE 3 + doc_id % 50 END)::BIGINT AS n_bytes,
+       (CASE doc_id % 4 WHEN 0 THEN doc_id % 200 + 1
+             WHEN 1 THEN doc_id % 300 + 1
+             WHEN 2 THEN doc_id % 500 + 1 END)::INTEGER AS width,
+       (CASE doc_id % 4 WHEN 0 THEN doc_id % 100 + 1
+             WHEN 1 THEN doc_id % 150 + 1
+             WHEN 2 THEN doc_id % 400 + 1 END)::INTEGER AS height,
+       CASE WHEN doc_id % 4 = 3
+            THEN round((3 + doc_id % 50) / 1000.0, 6) END AS duration_s
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video/audio frame-sampling plumbing (sequence+explode over decoded
+    duration; rows-only — duration itself is the documented stub)."""
+    from .operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_fixture(spark, sf_dir), every_s=0.005)
 
 
 # =============================================================================
@@ -816,13 +902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "embedding_norm": q_embedding_norm,
+        "multimodal_meta": q_multimodal_meta,
+        "session_windows": q_session_windows,
         # rows-only below
         "crawl_mini": q_crawl_mini,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "lsh_knn": q_lsh_knn,
-        "multimodal_meta": q_multimodal_meta,
-        "session_windows": q_session_windows,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -859,6 +946,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
         "embedding_norm": SQL_EMB_NORM,
+        "multimodal_meta": SQL_MULTIMODAL,
+        "session_windows": SQL_SESSION_WINDOWS,
     }
 
 

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns with
 typed metadata (the brief's multimodal requirement).
 
-The image/audio decode libraries are NOT in this container, so the decode
-kernels are deterministic fakes clearly marked as stubs — but every Spark-side
-piece is real and tested: the schema contract, the mapInPandas iterator shape,
-Arrow batch sizing for fat binary columns, and the partitioning story
-(repartition on a content-hash so giant media files spread evenly).
+IMAGE DIMENSIONS ARE REAL: PNG IHDR, JPEG SOF marker walk, and GIF logical
+screen descriptor are parsed straight from the payload bytes (container
+formats put width/height in fixed header positions — no imaging library
+needed, none is installed in this container). Still stubbed, clearly marked:
+audio/video DURATION (needs a real media demuxer) and the 8-byte `feature`
+(stands in for an embedding model). Every Spark-side piece is real and
+tested: the schema contract, the mapInPandas iterator shape, Arrow batch
+sizing for fat binary columns, and the partitioning story (repartition on a
+content-hash so giant media files spread evenly).
 """
 
 from __future__ import annotations
@@ -33,18 +37,62 @@ MEDIA_META_SCHEMA = StructType([
 ])
 
 
-def _fake_decode(payload: bytes, mimetype: str) -> dict:
-    """STUB: a real deployment plugs Pillow/ffmpeg here. This fake is
-    deterministic in the payload bytes so tests are stable. Raises for
-    genuinely unsupported types, mirroring a real decoder."""
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})  # SOFn minus DHT/JPG/DAC
+
+
+def image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) parsed from raw bytes for PNG / JPEG / GIF — REAL
+    decode, zero dependencies:
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first; width
+      and height are big-endian uint32 at offsets 16 and 20.
+    - GIF: 'GIF87a'/'GIF89a', logical screen width/height little-endian
+      uint16 at offsets 6 and 8.
+    - JPEG: walk FF-marker segments from SOI; the first SOFn frame header
+      carries height then width as big-endian uint16 at offsets +5/+7
+      into the segment."""
+    b = payload
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # padding / standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                return (int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+        return None
+    return None
+
+
+def _decode(payload: bytes, mimetype: str) -> dict:
+    """Image dimensions are parsed for real (image_dimensions above).
+    STUBS, clearly marked: audio/video duration (a real deployment plugs an
+    ffprobe-style demuxer here — deterministic fake keeps tests stable) and
+    the 8-byte feature (stands in for an embedding model's output).
+    Raises for genuinely unsupported types, mirroring a real decoder."""
     if mimetype.startswith("image/"):
-        w = 1 + payload[0] if payload else 1
-        h = 1 + payload[-1] if payload else 1
-        return dict(width=int(w), height=int(h), duration_s=None,
+        dims = image_dimensions(payload)
+        return dict(width=dims[0] if dims else None,
+                    height=dims[1] if dims else None, duration_s=None,
                     feature=bytes([sum(payload) % 256] * 8))
     if mimetype.startswith(("audio/", "video/")):
         return dict(width=None, height=None,
-                    duration_s=float(len(payload)) / 1000.0,
+                    duration_s=float(len(payload)) / 1000.0,  # STUB
                     feature=bytes([len(payload) % 256] * 8))
     raise NotImplementedError(f"no decoder for {mimetype}")
 
@@ -62,7 +110,7 @@ def extract_media_meta(media: DataFrame, id_col: str = "media_id",
                 payload = bytes(payload) if payload is not None else b""
                 mt = sniff_mimetype(payload, "")
                 try:
-                    meta = _fake_decode(payload, mt)
+                    meta = _decode(payload, mt)
                 except NotImplementedError:
                     meta = dict(width=None, height=None, duration_s=None,
                                 feature=None)

@@ -63,42 +63,68 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
 
 
 def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
-            n_planes: int = 16, dim: int | None = None,
+            n_planes: int = 16, bands: int = 4, dim: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """ANN: sign-random-projection bucket join, exact cosine re-rank within
-    the bucket. Bucket key = packed sign bits against n_planes hyperplanes."""
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+            q_broadcast_rows: int = 4_000_000) -> DataFrame:
+    """ANN: BANDED sign-random-projection — `bands` independent hash tables
+    of `n_planes` sign bits each (total bands*n_planes hyperplanes), a
+    candidate meets a query if they agree on ANY whole band, exact cosine
+    re-rank on the candidate union. Recall is tunable via `bands` at fixed
+    per-band precision (P(candidate) = 1-(1-p^w)^L), the standard
+    LSH-forest trade — a single table (bands=1) couples recall to
+    precision.
+
+    Scale shape: the banded join carries only (id, band_id, band_val) —
+    vectors never ride the explode; embeddings re-attach to the DISTINCT
+    candidate pairs afterwards. The query side is broadcast only under
+    `q_broadcast_rows` (one count job on the small-by-contract side);
+    beyond it the join falls back to shuffle and AQE decides."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
+    total = bands * n_planes
 
-    # signature = one (batch x dim) @ (dim x n_planes) matrix multiply per
-    # Arrow batch, sign bits packed into an int64. A Catalyst rendering
-    # (n_planes x dim literal exprs) blows up codegen at real embedding
-    # dims (768+); the UDF is O(1) plan size at any dim/plane count.
-    # Hyperplanes are regenerated deterministically inside the UDF (seeded),
-    # so executors agree without shipping the matrix.
-    from pyspark.sql.types import LongType
+    # signature = one (batch x dim) @ (dim x total) matrix multiply per
+    # Arrow batch, sign bits packed into one int64 PER BAND. A Catalyst
+    # rendering (total x dim literal exprs) blows up codegen at real
+    # embedding dims (768+); the UDF is O(1) plan size at any dim/plane
+    # count. Hyperplanes are regenerated deterministically inside the UDF
+    # (seeded), so executors agree without shipping the matrix.
+    from pyspark.sql.types import ArrayType, LongType
 
-    @F.pandas_udf(LongType())
+    @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(vecs: pd.Series) -> pd.Series:
         import numpy as np
-        planes = _hyperplanes(dim, n_planes)  # (n_planes, dim), seeded
+        planes = _hyperplanes(dim, total)         # (total, dim), seeded
         if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy())           # (batch, dim)
-        signs = mat @ planes.T >= 0               # (batch, n_planes)
+        signs = mat @ planes.T >= 0               # (batch, total)
         weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series(signs @ weights)
+        vals = np.stack([signs[:, b * n_planes:(b + 1) * n_planes] @ weights
+                         for b in range(bands)], axis=1)  # (batch, bands)
+        return pd.Series(list(vals))
 
-    e = emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).alias("embedding"),
-                   sig_udf(F.col(vec_col)).alias("bucket"))
-    q = queries.select(F.col(q_id_col).alias("q_id"),
-                       F.col(q_vec_col).alias("q_vec"),
-                       sig_udf(F.col(q_vec_col)).alias("bucket"))
-    joined = e.join(F.broadcast(q), "bucket").filter(
-        F.col("vec_id") != F.col("q_id"))
-    scored = with_cosine(joined, "embedding", "q_vec")
+    e_b = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band_id", "band_val"))
+    q_b = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.posexplode(sig_udf(F.col(q_vec_col))).alias("band_id", "band_val"))
+    q_dim = queries.select(F.col(q_id_col).alias("q_id"),
+                           F.col(q_vec_col).alias("q_vec"))
+    if queries.count() <= q_broadcast_rows:
+        q_b, q_dim = F.broadcast(q_b), F.broadcast(q_dim)
+    cand = (
+        e_b.join(q_b, ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id").distinct()
+    )
+    scored = with_cosine(
+        cand.join(emb.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("embedding")), "vec_id")
+            .join(q_dim, "q_id"),
+        "embedding", "q_vec")
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -3,9 +3,10 @@
 scoring, token counting, fingerprinting.
 
 Everything here is built from JVM-side pyspark.sql.functions (whole-stage
-codegen; zero Python in the hot path) except the simhash signature, which is
-an Arrow-batched pandas UDF. At 100 TB these are the operators that dominate
-wall time, so the shapes matter:
+codegen; ZERO Python anywhere in the hot paths — the simhash signature's
+former pandas UDF is now a 64-column Catalyst bit-vote aggregation). At
+100 TB these are the operators that dominate wall time, so the shapes
+matter:
 
 - exact dedup: map-side-combinable groupBy on a digest of the normalized
   text, NOT on the text itself — shuffling 20-byte digests instead of
@@ -192,36 +193,42 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc as an Arrow-batched pandas UDF (the bit-voting
-    accumulation is per-doc sequential — the one textop where Python wins).
-    Returns (doc_id, simhash LONG)."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import LongType
-
-    def _simhash(texts):
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in set((t or "").lower().split()):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"),
-                                    digest_size=8).digest(), "little")
-                bits = ((np.uint64(h) >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            v = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    v |= 1 << b
-            out[i] = np.int64(np.uint64(v).astype(np.int64))
-        return pd.Series(out)
-
-    simhash = F.pandas_udf(_simhash, LongType())
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       simhash(F.col(text_col)).alias("simhash"))
+    """64-bit SimHash per doc, entirely JVM-side (whole-stage codegen; zero
+    Python in the path — this was the last Python-heavy inner loop of the
+    textops family). Tokens = distinct lowercased whitespace words; per
+    token one xxhash64; per bit a +/-1 vote summed in a 64-column Catalyst
+    aggregation (map-side partial agg: exploded token rows stay co-located
+    with their doc, so the shuffle is one row of 64 longs per doc); the
+    signature packs the positive-vote bits. Docs with no tokens carry
+    signature 0 (left join back). Returns (doc_id, simhash LONG)."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    # materialize the token hash BEFORE the aggregation: agg expressions are
+    # not common-subexpression-eliminated, so referencing xxhash64(tok)
+    # inside all 64 sums would hash every token 64 times (measured 5x)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(words_expr(F.col(text_col))))
+         .alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.col("h")
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"v{b}")
+        for b in range(64)
+    ])
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    packed = bit_terms[0]
+    for t in bit_terms[1:]:
+        packed = packed + t
+    sig = votes.select("doc_id", packed.alias("simhash"))
+    return ids.join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long"))
+        .alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
