@@ -690,6 +690,35 @@ QUALIFY rank <= 5
 """
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup, ORACLE-CHECKED recall: the corpus is
+    unioned with a scaled twin of every vector (vec_id + 1000000, 2*v —
+    cosine exactly 1, and sign-LSH signatures are scale-invariant, so every
+    band agrees and the banded self-join can NEVER miss a twin pair). At
+    threshold 0.9999 the output is exactly the twin pairs, which the oracle
+    constructs arithmetically — equality is a 100%-recall assertion over
+    the full LSH candidate pipeline + exact-cosine verify."""
+    from .operators.similarity import cosine_dedup_pairs
+
+    base = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    twins = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"))
+    u = base.unionByName(twins)
+    return cosine_dedup_pairs(u, threshold=0.9999, n_planes=8, bands=16,
+                              dim=64)
+
+
+SQL_EMBEDDING_DEDUP = """
+SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
+FROM embeddings WHERE vec_id < 500
+"""
+
+
 def q_embedding_norm(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -902,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "embedding_norm": q_embedding_norm,
+        "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "session_windows": q_session_windows,
         # rows-only below
@@ -946,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
         "embedding_norm": SQL_EMB_NORM,
+        "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,
         "session_windows": SQL_SESSION_WINDOWS,
     }

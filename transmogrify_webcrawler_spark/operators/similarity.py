@@ -62,6 +62,67 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
     return rng.standard_normal((n_planes, dim)).astype("float64")
 
 
+def cosine_dedup_pairs(emb: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 8, bands: int = 16,
+                       dim: int | None = None, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (a, b, cosine), a < b — the
+    embedding member of the dedup family (exact / minhash / simhash /
+    ngram / THIS). Banded sign-LSH SELF-join: ids+band keys only ride the
+    explode (never vectors), candidates meet only inside a (band_id,
+    band_val) bucket — the O(n^2) pair space is never materialized — then
+    exact cosine on the distinct candidate pairs filters >= threshold.
+    Scale-exact for true duplicates: cos=1 vectors have identical sign
+    patterns, so every band agrees and the pair is a guaranteed candidate;
+    near-dups are found with P = 1-(1-p^w)^L, tunable via `bands`."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sig = _band_sig_udf(dim, n_planes, bands)
+    e_b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(sig(F.col(vec_col))).alias("band_id", "band_val"))
+    cand = (
+        e_b.alias("x").join(e_b.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("v"))
+    scored = with_cosine(
+        cand.join(vecs.select(F.col("vid").alias("a"),
+                              F.col("v").alias("va")), "a")
+            .join(vecs.select(F.col("vid").alias("b"),
+                              F.col("v").alias("vb")), "b"),
+        "va", "vb")
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 4).alias("cosine")))
+
+
+def _band_sig_udf(dim: int, n_planes: int, bands: int):
+    """Shared banded-signature pandas UDF: one (batch x dim) @
+    (dim x bands*n_planes) matmul per Arrow batch, one packed int64 per
+    band. Hyperplanes regenerate deterministically (seeded) on executors."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    total = bands * n_planes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        planes = _hyperplanes(dim, total)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())
+        signs = mat @ planes.T >= 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        vals = np.stack([signs[:, b * n_planes:(b + 1) * n_planes] @ weights
+                         for b in range(bands)], axis=1)
+        return pd.Series(list(vals))
+
+    return sig_udf
+
+
 def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = 16, bands: int = 4, dim: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -82,29 +143,10 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     beyond it the join falls back to shuffle and AQE decides."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    total = bands * n_planes
-
-    # signature = one (batch x dim) @ (dim x total) matrix multiply per
-    # Arrow batch, sign bits packed into one int64 PER BAND. A Catalyst
-    # rendering (total x dim literal exprs) blows up codegen at real
-    # embedding dims (768+); the UDF is O(1) plan size at any dim/plane
-    # count. Hyperplanes are regenerated deterministically inside the UDF
-    # (seeded), so executors agree without shipping the matrix.
-    from pyspark.sql.types import ArrayType, LongType
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(vecs: pd.Series) -> pd.Series:
-        import numpy as np
-        planes = _hyperplanes(dim, total)         # (total, dim), seeded
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.stack(vecs.to_numpy())           # (batch, dim)
-        signs = mat @ planes.T >= 0               # (batch, total)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        vals = np.stack([signs[:, b * n_planes:(b + 1) * n_planes] @ weights
-                         for b in range(bands)], axis=1)  # (batch, bands)
-        return pd.Series(list(vals))
-
+    # signature = one matrix multiply per Arrow batch (a Catalyst rendering
+    # of bands*n_planes x dim literal exprs blows up codegen at real
+    # embedding dims, 768+); O(1) plan size at any dim/plane count
+    sig_udf = _band_sig_udf(dim, n_planes, bands)
     e_b = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("band_id", "band_val"))

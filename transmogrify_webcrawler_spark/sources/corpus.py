@@ -131,17 +131,26 @@ _JPG = b"\xff\xd8\xff\xe0" + b"\x00" * 32
 _TXT = b"plain text payload, not html at all\nline two\n"
 
 
+# pages generated per worker task: bounds BOTH worker RSS and the parent's
+# ordered-map result buffer (a 40k-word page is ~280 KB of html; 2048 pages
+# ~ 0.6 GB). The hot domain of a heavy corpus would otherwise accumulate
+# tens of GB in one process (observed: 240k-page generation stalling with
+# 16 workers at ~10 GB RSS each).
+GEN_CHUNK = 2048
+
+
 def _gen_domain(args):
-    """One domain's pages — independently seeded (random.Random((seed, d_i)))
-    so domains generate identically whether run serially or in a process
-    pool. warc_ts is deterministic per (d_i, i): distinct monotone capture
-    timestamps exercise 'latest capture wins' dedup on duplicate url_canons
-    (e.g. two i values -> the same /dN/ index page)."""
-    d_i, dom, n_pages, domains, seed, body_words = args
-    rng = random.Random(f"{seed}:{d_i}")
+    """One CHUNK of one domain's pages — independently seeded per
+    (seed, domain, chunk start) so chunks generate identically whether run
+    serially or in a process pool, at any chunk boundary placement chosen
+    by the task planner. warc_ts is deterministic per (d_i, i): distinct
+    monotone capture timestamps exercise 'latest capture wins' dedup on
+    duplicate url_canons (e.g. two i values -> the same /dN/ index page)."""
+    d_i, dom, n_pages, domains, seed, body_words, start, count = args
+    rng = random.Random(f"{seed}:{d_i}:{start}")
     ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
     rows = []
-    for i in range(n_pages[dom]):
+    for i in range(start, min(start + count, n_pages[dom])):
         url = _page_url(dom, i, rng)
         url_c = canonicalize(url)
         kind = rng.random()
@@ -170,7 +179,10 @@ def _gen_domain(args):
             text=text,
             lang="en",
         ))
-    # robots.txt rows live in the pages table (FIXTURES.md B.3)
+    # robots.txt rows live in the pages table (FIXTURES.md B.3) — emitted
+    # exactly once per domain, by its FIRST chunk
+    if start > 0:
+        return (d_i, start), rows
     if d_i == 1:
         robots = b"User-agent: *\nDisallow: /d1/\nCrawl-delay: 2\n"
     elif d_i == 2:
@@ -194,7 +206,19 @@ def _gen_domain(args):
             html=b"User-agent: *\nDisallow: /d3/\nCrawl-delay: 1\n",
             text="", lang="en",
         ))
-    return d_i, rows
+    return (d_i, start), rows
+
+
+def _gen_tasks(domains, n_pages, seed, body_words):
+    """Chunked task list: (d_i, start) keys give a total order identical to
+    the old per-domain ordering (rows concatenate as domain-major,
+    index-minor), while bounding per-task memory at GEN_CHUNK pages."""
+    tasks = []
+    for d_i, dom in enumerate(domains):
+        for start in range(0, n_pages[dom], GEN_CHUNK):
+            tasks.append((d_i, dom, n_pages, domains, seed, body_words,
+                          start, GEN_CHUNK))
+    return tasks
 
 
 def generate_corpus(n_domains: int = 8, total_pages: int = 400,
@@ -219,8 +243,7 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
     for k, d in enumerate(domains[1:]):
         n_pages[d] = max(int(remaining * weights[k] / wsum), 1)
 
-    tasks = [(d_i, dom, n_pages, domains, seed, body_words)
-             for d_i, dom in enumerate(domains)]
+    tasks = _gen_tasks(domains, n_pages, seed, body_words)
     if parallel is None:
         parallel = total_pages >= 20_000
     if parallel:
@@ -230,8 +253,8 @@ def generate_corpus(n_domains: int = 8, total_pages: int = 400,
     else:
         results = [_gen_domain(t) for t in tasks]
     rows = []
-    for _d_i, dom_rows in sorted(results, key=lambda r: r[0]):
-        rows.extend(dom_rows)
+    for _key, chunk_rows in sorted(results, key=lambda r: r[0]):
+        rows.extend(chunk_rows)
 
     seeds = [f"http://{domains[0]}/", f"http://{domains[0]}/p/1.html"]
     if n_domains > 1:
@@ -307,8 +330,7 @@ def generate_corpus_parquet(path: str, n_domains: int, total_pages: int,
     for k, d in enumerate(domains[1:]):
         n_pages[d] = max(int(remaining * weights[k] / wsum), 1)
 
-    tasks = [(d_i, dom, n_pages, domains, seed, body_words)
-             for d_i, dom in enumerate(domains)]
+    tasks = _gen_tasks(domains, n_pages, seed, body_words)
     schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
@@ -317,7 +339,7 @@ def generate_corpus_parquet(path: str, n_domains: int, total_pages: int,
     writer = pq.ParquetWriter(path, schema)
     try:
         with cf.ProcessPoolExecutor(max_workers=min(16, len(tasks))) as ex:
-            for _d_i, rows in ex.map(_gen_domain, tasks):
+            for _key, rows in ex.map(_gen_domain, tasks):
                 table = pa.table({
                     "url": [r["url"] for r in rows],
                     "warc_ts": [r["warc_ts"] for r in rows],
