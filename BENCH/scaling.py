@@ -94,6 +94,7 @@ def measure_hw(n_small: int, n_big: int, burn, work: int) -> float:
 
 def run_at(cpus: int, pages: int, engine_shape: bool) -> dict:
     env = dict(os.environ,
+               SPARK_GRAFT_DRIVER_MEM="20g",
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_CRAWL_PAGES=str(pages),
                SPARK_GRAFT_BODY_WORDS=str(BODY_WORDS),

@@ -45,8 +45,11 @@ def build_spark(cpus: int):
         # moderate heap on purpose: an oversized (48g) heap measurably
         # stalls the Arrow-batch pipeline at high parallelism (extraction
         # stage 45s -> 24s at local[32] when dropped to 12g; G1 behaves
-        # badly with a huge young gen full of ~20MB humongous batches)
-        .config("spark.driver.memory", "12g")
+        # badly with a huge young gen full of ~20MB humongous batches).
+        # Heavy-page benches (per-wave fetch at ~240KB pages) size up via
+        # the env knob — disclosed in BENCH/BASELINE.md.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )

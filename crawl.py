@@ -45,6 +45,15 @@ def main():
     p.add_argument("--ignore", nargs="*", default=[],
                    help="ignore regexes (re.search semantics)")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--fetch-mode", choices=("per-wave", "precompute"),
+                   default="per-wave",
+                   help="precompute = one corpus-wide extraction pass up "
+                        "front (right when the crawl visits most of the "
+                        "corpus)")
+    p.add_argument("--cache-corpus", choices=("full", "skinny"),
+                   default="full",
+                   help="skinny = never pin page bodies; re-scan the "
+                        "corpus each wave (the 100 TB configuration)")
     p.add_argument("--out", help="optional parquet path for the final "
                                  "crawled+backlinks table")
     args = p.parse_args()
@@ -58,7 +67,8 @@ def main():
     cfg = SparkCrawlConfig(
         wave_size=args.wave_size, per_domain_budget=args.per_domain_budget,
         max_pages=args.max_pages, maxsize=args.maxsize, max_waves=args.waves,
-        ignore=tuple(args.ignore), use_bloom=not args.no_bloom)
+        ignore=tuple(args.ignore), use_bloom=not args.no_bloom,
+        fetch_mode=args.fetch_mode, cache_corpus=args.cache_corpus)
     crawler = SparkCrawler(spark, args.store, cfg)
     t0 = time.time()
     out = crawler.run(spark.read.parquet(args.pages), args.seeds)

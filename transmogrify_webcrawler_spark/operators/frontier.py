@@ -159,10 +159,27 @@ def range_topk(df: DataFrame, k: int, n_parts: int | None = None,
     return whole.unionByName(boundary).drop("_pid")
 
 
-def assign_sortorder(emitted: DataFrame, offset: int) -> DataFrame:
+def assign_sortorder(emitted: DataFrame, offset: int,
+                     approx_rows: int | None = None,
+                     broadcast_limit: int = 2_000_000) -> DataFrame:
     """W1: wave-major gap-free crawl index; ties broken on url_canon
-    [UP webcrawler.py _sortorder — monotone BFS counter]."""
+    [UP webcrawler.py _sortorder — monotone BFS counter].
+
+    The global window ranks a SKINNY projection (url_canon, priority — a
+    single task over <= wave_size ~60-byte rows), and the index joins back
+    on url_canon. Ranking the emitted rows directly would funnel the whole
+    wave INCLUDING extracted_text through one window task — measured OOM
+    at real page weights (wave_size x ~200 KB of text in a single task).
+    The join-back is hinted broadcast while the wave is small enough
+    (`approx_rows` from the caller's budget); a 10^7-row wave falls back
+    to a shuffle join, which is the right plan there."""
     w = Window.orderBy("priority", "url_canon")
-    return emitted.withColumn(
-        "sortorder", F.row_number().over(w).cast("long") + F.lit(offset) - 1
+    ranked = (
+        emitted.select("url_canon", "priority")
+        .withColumn("sortorder",
+                    F.row_number().over(w).cast("long") + F.lit(offset) - 1)
+        .select("url_canon", "sortorder")
     )
+    if approx_rows is None or approx_rows <= broadcast_limit:
+        ranked = F.broadcast(ranked)
+    return emitted.join(ranked, "url_canon")

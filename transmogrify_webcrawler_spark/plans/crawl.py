@@ -101,6 +101,14 @@ class SparkCrawlConfig:
     # fragment dirs accumulate one per wave; every Nth wave the shard table
     # is OR-compacted back to one row per shard (bounds read amplification)
     bloom_compact_every: int = 8
+    # AQE's starting partition count for every shuffle. AQE can only
+    # COALESCE partitions, never split non-skewed ones — with
+    # shuffle.partitions at the usual 2x-cores, a per-wave fat-corpus
+    # shuffle (0.5 MB rows) lands ~750 MB on each sort task and concurrent
+    # commit jobs OOM'd a 12 g heap (measured, ENGINE shape at 50k heavy
+    # pages). Start high; AQE coalesces small stages back down to the
+    # 32 MB advisory, so skinny state tables still run few tasks.
+    shuffle_initial_partitions: int = 512
     n_buckets: int = 16  # bucket(registered_domain) for table layout
     # Arrow transfer granularity for the fat html column. Measured on the
     # 50k x ~240KB-page corpus (extraction pass, local[32]): batch 64 beats
@@ -236,6 +244,9 @@ class SparkCrawler:
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(cfg.shuffle_initial_partitions))
         # cached plans freeze their output partitioning unless this is on —
         # without it every stage over a persisted state table runs
         # shuffle.partitions-many micro-tasks
@@ -457,6 +468,13 @@ class SparkCrawler:
             # fused sniff+links+text UDF: the fat html column crosses to
             # Python once and the parser runs once per page (extract_page).
             # Gated rows pass null html → the oracle returns (None, [], '')
+            # DISK_ONLY cache: parsed carries the wave's extracted_text —
+            # at real page weights (~200 KB text) an on-heap cache of a
+            # 10^5-page wave competes with the commit jobs' sort/write
+            # buffers for the same heap (measured OOM at 50k heavy pages,
+            # 12 g); local disk + page cache serve the few re-reads fine.
+            from pyspark import StorageLevel
+
             ok_html = F.when(is_ok, F.col("html"))
             pg = extract_page_udf(ok_html, F.col("url_canon"),
                                   F.lit(cfg.nonames))
@@ -474,7 +492,7 @@ class SparkCrawler:
                 .withColumn("n_bytes",
                             F.when(is_ok, F.length("html")).otherwise(0))
                 .drop("html", "_pg")
-                .persist()
+                .persist(StorageLevel.DISK_ONLY)
             )
         is_html = is_ok & (F.col("mimetype") == "text/html")
 
@@ -497,6 +515,7 @@ class SparkCrawler:
                 "extracted_text",
             ),
             offset=crawled_count,
+            approx_rows=budget,
         )
 
         # --- link pipeline: scope -> ignore -> dedup -> candidates ----------

@@ -185,6 +185,10 @@ class SnapshotStore:
                 self.last_write_counts[name] = _footer_row_count(final)
                 out_rels.append((name, rel))
             shutil.rmtree(gout, ignore_errors=True)
+            try:  # drop the staging parent too once empty
+                os.rmdir(os.path.dirname(gout))
+            except OSError:
+                pass
             self.last_write_times["_grouped"] = round(_time.time() - _t0, 3)
             return out_rels
 
