@@ -67,6 +67,47 @@ def test_streamed_extraction_matches_oracle(spark, landing, tmp_path):
         assert g["extracted_text"] == want, row["url"]
 
 
+def test_stateful_seen_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState URL-seen dedup: first occurrence wins across
+    micro-batches AND across query restarts (state resumes from the
+    streaming checkpoint) — the crawl seen-set semantics, never forgotten,
+    unlike watermarked dropDuplicates."""
+    from transmogrify_webcrawler_spark.streaming.state import (
+        stateful_seen_dedup)
+
+    src = str(tmp_path / "urls")
+    ckpt = str(tmp_path / "ck_state")
+    os.makedirs(src)
+    schema = "url_canon string, wave int"
+
+    def run_once(collector):
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (stateful_seen_dedup(stream, n_shards=4)
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _i: collector.extend(
+                 (r["url_canon"], r["wave"]) for r in b.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("http://a/", 0), ("http://b/", 0), ("http://a/", 0)], schema
+    ).write.parquet(os.path.join(src, "b0.parquet"))
+    got1 = []
+    run_once(got1)
+    assert sorted(u for u, _ in got1) == ["http://a/", "http://b/"]
+
+    # new file, NEW query on the same checkpoint: b is already seen in
+    # restored state, only c emits
+    spark.createDataFrame(
+        [("http://b/", 1), ("http://c/", 1)], schema
+    ).write.mode("append").parquet(os.path.join(src, "b1.parquet"))
+    got2 = []
+    run_once(got2)
+    assert [(u, w) for u, w in got2] == [("http://c/", 1)]
+
+
 def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
     """The same builder over a static frame and a stream (availableNow) must
     agree — unified batch/stream semantics."""

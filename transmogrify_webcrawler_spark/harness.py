@@ -546,6 +546,8 @@ SQL_TOKEN_COUNT = """
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '')) AS n_tokens_ws,
+       len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]'))::bigint AS n_tokens_re,
        ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)::bigint
            AS n_tokens_bpe_est
 FROM documents

@@ -308,15 +308,25 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pattern's portable core): letter runs,
+# single digits, single non-space punctuation — subword merges only ever
+# split WITHIN these pieces, so their count is a true lower bound and a
+# far better LLM-token estimate than chars/4
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish proxy (4 chars/token heuristic over
-    non-space chars) — both pure Catalyst."""
+    """Token counting three ways, all pure Catalyst: whitespace tokens, a
+    BPE-ish regex pre-tokenization (see _BPE_RE), and the chars/4
+    heuristic."""
     t = F.col(text_col)
     words = words_expr(t)
     non_space = F.length(F.regexp_replace(t, r"\s+", ""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), 0))
+         .cast("long").alias("n_tokens_re"),
         F.ceil(non_space / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
     )
