@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "pricing_summary", "salted_agg", "backlink_collect", "politeness_topk",
     "dedup_exact", "token_count", "minhash_lsh", "knn_cosine",
     "ngram_jaccard", "simhash_pairs",
+    # round-3 additions (keys appended — earlier keys stay comparable
+    # across BENCH_r{N}.json)
+    "embedding_dedup", "session_windows", "multimodal_meta",
 ]
 
 
