@@ -90,6 +90,15 @@ class SparkCrawlConfig:
     # top-k (operators.frontier.range_topk: no task holds more than ~n/P
     # rows, driver sees only P counts; costs one extra small job per wave)
     topk_single_pass_limit: int = 2_000_000
+    # up to this wave budget the fetch join first BROADCASTS the wave's
+    # selected url set into an inner join against the corpus — the corpus
+    # side then only ever SCANS (no shuffle) and the left-outer fetch join
+    # shuffles wave-sized data instead of the whole corpus. Measured
+    # (ENGINE shape, 50k heavy pages): per-wave mode otherwise sort-merge-
+    # shuffles all ~12 GB of page bodies EVERY wave through one disk.
+    # Beyond the guard (10^7+-URL waves) the corpus-wide shuffle join is
+    # the honest plan and AQE keeps it.
+    selected_broadcast_rows: int = 2_000_000
     use_bloom: bool = True
     n_bloom_shards: int = 32
     # fixed shard size so incremental OR-merges line up. 128 KiB/shard x 32
@@ -435,7 +444,16 @@ class SparkCrawler:
             "allowed",
             robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
         ).drop("robots_txt")
-        fetched = sel.join(pages_prepared, "url_canon", "left")
+        # corpus side: semi-join on the broadcast selected keys FIRST — the
+        # corpus never shuffles (scan + broadcast hash join); only the
+        # wave-sized hit set enters the left-outer join's exchange. A left
+        # join against the raw corpus finds matches among selected keys
+        # anyway, so this is plan surgery, not a semantics change.
+        sel_keys = selected.select("url_canon")
+        if budget <= cfg.selected_broadcast_rows:
+            sel_keys = F.broadcast(sel_keys)
+        hits = pages_prepared.join(sel_keys, "url_canon")
+        fetched = sel.join(hits, "url_canon", "left")
         is_precomputed = "n_bytes" in pages_prepared.columns
         body_len = (F.col("n_bytes") if is_precomputed
                     else F.length("html"))
