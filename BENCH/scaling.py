@@ -92,8 +92,10 @@ def measure_hw(n_small: int, n_big: int, burn, work: int) -> float:
     return round(times[n_small] / times[n_big], 3)
 
 
-def run_at(cpus: int, pages: int, engine_shape: bool) -> dict:
+def run_at(cpus: int, pages: int, engine_shape: bool,
+           ram_io: bool = False, repeats: int = 1) -> dict:
     env = dict(os.environ,
+               SPARK_GRAFT_BENCH_REPEATS=str(repeats),
                SPARK_GRAFT_DRIVER_MEM="20g",
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_CRAWL_PAGES=str(pages),
@@ -109,11 +111,40 @@ def run_at(cpus: int, pages: int, engine_shape: bool) -> dict:
                # delay-nonbinding: measure throughput, not politeness waits
                SPARK_GRAFT_WAVE_SECONDS="1e18",
                SPARK_GRAFT_ARROW_BATCH="64")
+    if ram_io:
+        # the disk-attribution arm: snapshot store AND shuffle/cache spill
+        # on tmpfs — every engine write except the corpus scan leaves the
+        # single shared disk out of the measurement
+        env["SPARK_GRAFT_STORE_DIR"] = "/dev/shm"
+        env["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark_local"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
-        env=env, capture_output=True, text=True, timeout=3600)
+        env=env, capture_output=True, text=True, timeout=7200)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
+
+
+def tmpfs_ab(repeats: int = 3) -> dict:
+    """ENGINE 8->32 with all engine IO on tmpfs vs on the shared disk —
+    attributes the one-box 8->32 retention gap (VERDICT r3 #1). Run via
+    `python BENCH/scaling.py --tmpfs-ab`; median-of-`repeats` per point."""
+    import shutil
+    res = {}
+    for cpus in (8, 32):
+        for ram in (False, True):
+            res[f"{'ram' if ram else 'disk'}[{cpus}]"] = run_at(
+                cpus, PAGES_ENGINE, engine_shape=True, ram_io=ram,
+                repeats=repeats)
+            shutil.rmtree("/dev/shm/spark_local", ignore_errors=True)
+    eff = {arm: round((res[f"{arm}[32]"]["pages_per_sec"]
+                       / res[f"{arm}[8]"]["pages_per_sec"]) / 4.0, 3)
+           for arm in ("disk", "ram")}
+    summary = dict(
+        throughput={k: v["pages_per_sec"] for k, v in res.items()},
+        spread={k: v.get("spread", {}).get("crawl") for k, v in res.items()},
+        eff_8_32=eff)
+    print(json.dumps(summary))
+    return summary
 
 
 def _eff(small: dict, big: dict) -> float:
@@ -263,4 +294,10 @@ two-parallelism-level instruction).
 
 
 if __name__ == "__main__":
-    main()
+    if "--tmpfs-ab" in sys.argv:
+        sys.path.insert(0, REPO)
+        import bench
+        bench.ensure_corpus(PAGES_ENGINE, BODY_WORDS, float(HOT_SHARE))
+        tmpfs_ab()
+    else:
+        main()

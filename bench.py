@@ -6,9 +6,18 @@ headline metric, pages-crawled/sec — and (b) the heavy harness queries at
 $SPARK_GRAFT_SF_DIR. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Every measurement is MEDIAN-OF-N (default 3, SPARK_GRAFT_BENCH_REPEATS):
+this box's wall times vary up to ~1.7x between sessions (disclosed in
+BENCH/BASELINE.md), so single-run numbers are noise-dominated; the JSON
+line carries a "spread" field ([min, max] per query) so round-over-round
+deltas can be judged against the measured same-session variance.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
-     SPARK_GRAFT_CRAWL_PAGES (default 20000).
+     SPARK_GRAFT_CRAWL_PAGES (default 20000),
+     SPARK_GRAFT_BENCH_REPEATS (default 3),
+     SPARK_GRAFT_STORE_DIR (snapshot-store parent, e.g. /dev/shm for the
+     tmpfs disk-attribution experiment — BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -39,9 +48,17 @@ BENCH_QUERIES = [
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"bench-{cpus}")
+        .appName(f"bench-{cpus}"))
+    # disk-attribution experiment (BENCH/BASELINE.md): move shuffle/cache
+    # spill off the single shared disk (e.g. /dev/shm) alongside
+    # SPARK_GRAFT_STORE_DIR
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -145,7 +162,9 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
             (F.pmod(F.xxhash64("url"), F.lit(seed_every)) == 0)
             & ~F.col("url").endswith("robots.txt")).collect()]
         seeds = sorted(set(seeds) | set(extra))
-    store = tempfile.mkdtemp(prefix="bench_store_")
+    store = tempfile.mkdtemp(
+        prefix="bench_store_",
+        dir=os.environ.get("SPARK_GRAFT_STORE_DIR") or None)
     cfg = SparkCrawlConfig(
         wave_size=int(os.environ.get("SPARK_GRAFT_WAVE_SIZE",
                                      max(n_pages // 4, 1000))),
@@ -193,38 +212,56 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
                               for k, v in sorted(per_wave.items())})
 
 
-def bench_queries(spark) -> dict:
+REPEATS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
+
+
+def bench_queries(spark, repeats: int = REPEATS) -> tuple[dict, dict]:
+    """Median-of-`repeats` per query + [min, max] spread. The first run of
+    a query pays plan compilation / UDF warmup; the median absorbs it."""
     from transmogrify_webcrawler_spark import harness
 
     qs = harness.queries()
-    out = {}
+    out, spread = {}, {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 2)
-    return out
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 2))
+        ts.sort()
+        out[name] = ts[len(ts) // 2]
+        spread[name] = [ts[0], ts[-1]]
+    return out, spread
 
 
 def main():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    crawl = bench_crawl(spark, CRAWL_PAGES, BODY_WORDS)
+    crawls = [bench_crawl(spark, CRAWL_PAGES, BODY_WORDS)
+              for _ in range(REPEATS)]
+    crawls.sort(key=lambda c: c["crawl_sec"])
+    crawl = crawls[len(crawls) // 2]  # the median run, reported whole
+    crawl_spread = [crawls[0]["crawl_sec"], crawls[-1]["crawl_sec"]]
     if "--crawl-only" in sys.argv:
         crawl.update(metric="pages_crawled_per_sec",
                      value=crawl["pages_per_sec"], unit="pages/sec",
-                     cpus=CPUS)
+                     cpus=CPUS, repeats=REPEATS,
+                     spread={"crawl": crawl_spread})
         print(json.dumps(crawl))
         spark.stop()
         return
-    queries = bench_queries(spark)
+    queries, spread = bench_queries(spark)
     total = round(crawl["crawl_sec"] + sum(queries.values()), 2)
     queries["crawl"] = crawl["crawl_sec"]
+    spread["crawl"] = crawl_spread
     result = {
         "metric": "crawl+query wall time (headline: pages_per_sec)",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "spread": spread,
+        "repeats": REPEATS,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pages_per_sec": crawl["pages_per_sec"],
         "pages_crawled": crawl["pages_crawled"],

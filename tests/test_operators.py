@@ -175,22 +175,75 @@ def test_image_dimensions_real_parsers():
     assert image_dimensions(b"") is None
 
 
+def _wav(seconds=1.0, framerate=22050, channels=2, sampwidth=2):
+    """A genuine WAV via the stdlib writer — the parser is tested against
+    real RIFF output, not bytes we laid out ourselves."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(sampwidth)
+    w.setframerate(framerate)
+    w.writeframes(b"\x00" * int(framerate * seconds) * channels * sampwidth)
+    w.close()
+    return buf.getvalue()
+
+
+def _mp3(audio_bytes=16000, kbps_index=0x9, id3_body=6):
+    """ID3v2 tag (syncsafe size) + one CBR MPEG1-LayerIII frame header +
+    padding; index 0x9 = 128 kbps -> 16000 bytes = exactly 1.0 s."""
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, id3_body]) + b"\x00" * id3_body
+    frame = bytes([0xFF, 0xFB, kbps_index << 4, 0x00])
+    return tag + frame + b"\x00" * (audio_bytes - len(frame))
+
+
+def test_wav_and_mp3_duration_real_parsers():
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        mp3_duration_estimate, wav_duration)
+
+    # stdlib-written WAV: 1 s at 22050 Hz x 2 ch x 16-bit
+    assert wav_duration(_wav(1.0)) == 1.0
+    assert wav_duration(_wav(0.25, framerate=8000, channels=1,
+                             sampwidth=1)) == 0.25
+    # truncated / non-RIFF payloads parse to None, never crash
+    assert wav_duration(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert wav_duration(b"RIFFxxxx") is None
+    assert wav_duration(b"") is None
+    # MP3: 16000 audio bytes at 128 kbps = 1.0 s (ID3 tag skipped via
+    # syncsafe size; estimate counts from the first frame sync)
+    assert mp3_duration_estimate(_mp3()) == 1.0
+    # tagless raw frame
+    assert mp3_duration_estimate(
+        bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 31996) == 2.0
+    # ID3 tag with no audio frame behind it: no estimate, no crash
+    assert mp3_duration_estimate(b"ID3\x04\x00\x00\x00\x00\x00\x02xx") is None
+    assert mp3_duration_estimate(b"") is None
+
+
 def test_multimodal_meta_real_decode_plumbing(spark):
     from transmogrify_webcrawler_spark.operators.multimodal import (
         extract_media_meta, frame_sample_plan)
 
     media = spark.createDataFrame(
         [(1, _jpeg(111, 222)),                       # real SOF dims
-         (2, b"ID3" + b"y" * 2000),                  # audio magic (stub dur)
+         (2, _mp3()),                                # real CBR estimate: 1 s
          (3, b"plain text payload"),
-         (4, _png(7, 9))],
+         (4, _png(7, 9)),
+         (5, _wav(2.0))],                            # real RIFF decode: 2 s
         ["media_id", "payload"])
     meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
     assert meta[1]["mimetype"] == "image/jpeg"
     assert (meta[1]["width"], meta[1]["height"]) == (111, 222)
     assert (meta[4]["width"], meta[4]["height"]) == (7, 9)
-    assert meta[2]["mimetype"] == "audio/mpeg" and meta[2]["duration_s"] > 0
+    assert meta[2]["mimetype"] == "audio/mpeg"
+    assert meta[2]["duration_s"] == 1.0
+    assert meta[5]["mimetype"] == "audio/wav"
+    assert meta[5]["duration_s"] == 2.0
     assert meta[3]["mimetype"] == "text/plain" and meta[3]["feature"] is None
     frames = frame_sample_plan(media, every_s=1.0).collect()
-    assert {r["media_id"] for r in frames} == {2}
-    assert len(frames) == int(meta[2]["duration_s"]) + 1
+    assert {r["media_id"] for r in frames} == {2, 5}
+    per = {}
+    for r in frames:
+        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+    assert per == {2: 2, 5: 3}  # floor(dur/every)+1 frame timestamps

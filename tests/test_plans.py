@@ -110,6 +110,59 @@ def test_dedup_exact_has_partial_aggregation(spark):
     assert "fingerprint" in exchange_line and "text" not in exchange_line
 
 
+def test_fetch_join_guard_switches_broadcast_to_shuffle(spark):
+    """The semi-join fetch's broadcast hint is governed by the
+    selected_broadcast_rows guard: under it the corpus joins the wave's
+    keys via BroadcastHashJoin (corpus never shuffles per wave); a budget
+    ABOVE the guard (the 10^7-URL-wave path) must DROP the hint so the
+    honest shuffle plan survives — with auto-broadcast disabled (mimicking
+    a key set too big for Spark's own threshold) the plan must contain a
+    SortMergeJoin and no broadcast of the selected keys."""
+    from transmogrify_webcrawler_spark.plans.crawl import fetch_join_plan
+
+    pages = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .selectExpr("cast(l_orderkey as string) as url_canon",
+                    "l_returnflag as html")
+    selected = spark.createDataFrame(
+        [(str(k), 0.0) for k in range(50)], ["url_canon", "priority"])
+    sel = selected.withColumnRenamed("priority", "allowed_p")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = _plan(fetch_join_plan(sel, selected, pages, budget=50,
+                                      selected_broadcast_rows=1000))
+        over = _plan(fetch_join_plan(sel, selected, pages, budget=50,
+                                     selected_broadcast_rows=10))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in under
+    assert "BroadcastHashJoin" not in over
+    assert "SortMergeJoin" in over
+
+
+def test_crawl_through_fetch_fallback_identical(spark, pages_df, corpus,
+                                                oracle_result, tmp_path):
+    """Full crawl forced through the above-guard fetch path
+    (selected_broadcast_rows=0, every wave exceeds it) yields the exact
+    oracle crawl — the guard changes the physical join strategy only."""
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler,
+    )
+
+    ocfg = oracle_result["cfg"]
+    cfg = SparkCrawlConfig(
+        wave_size=ocfg.wave_size, per_domain_budget=ocfg.per_domain_budget,
+        maxsize=ocfg.maxsize, ignore=ocfg.ignore, use_bloom=False,
+        n_salts=4, selected_broadcast_rows=0,
+    )
+    crawler = SparkCrawler(spark, str(tmp_path / "store"), cfg)
+    final = crawler.run(pages_df, corpus["seeds"])
+    got = {r["url_canon"]: r["sortorder"] for r in final.collect()}
+    want = {r["url_canon"]: r["sortorder"]
+            for r in oracle_result["crawled"]}
+    assert got == want
+
+
 def test_robots_dim_is_broadcast(spark):
     from transmogrify_webcrawler_spark import harness
 

@@ -108,6 +108,70 @@ def test_stateful_seen_dedup_across_restarts(spark, tmp_path):
     assert [(u, w) for u, w in got2] == [("http://c/", 1)]
 
 
+def test_stateful_seen_dedup_bloom_bounded_state(spark, tmp_path):
+    """state_mode='bloom' (the 10^10 design point): fixed-size bitmap per
+    shard — (a) exact same emissions as exact mode at a well-sized filter
+    (no suppression, never a duplicate, survives restart), and (b) state
+    bytes BOUNDED independent of how many distinct keys stream through:
+    the checkpoint's state-store footprint stays under the same absolute
+    ceiling (batches x shards x bloom_bytes + metadata) at 100 keys and at
+    200x that — the logical state value is always exactly bloom_bytes (the
+    on-disk files are compressed, so they grow with bit-entropy up to the
+    ceiling, never with the keyspace)."""
+    from transmogrify_webcrawler_spark.streaming.state import (
+        stateful_seen_dedup)
+
+    schema = "url_canon string, wave int"
+
+    def run_once(src, ckpt, collector, **kw):
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (stateful_seen_dedup(stream, n_shards=4, **kw)
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _i: collector.extend(
+                 (r["url_canon"], r["wave"]) for r in b.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def state_bytes(ckpt):
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if not f.startswith("."))
+        return total
+
+    def drive(n_keys, tag):
+        src = str(tmp_path / f"urls_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(f"http://{tag}/{i}", 0) for i in range(n_keys)], schema
+        ).write.parquet(os.path.join(src, "b0.parquet"))
+        got = []
+        run_once(src, ckpt, got, state_mode="bloom", bloom_bytes=16384)
+        assert len(got) == n_keys  # no suppression at this sizing
+        # restart + refeed the same keys plus one fresh: only the fresh
+        # one may emit — a duplicate emission is IMPOSSIBLE by the
+        # zero-false-negative construction
+        spark.createDataFrame(
+            [(f"http://{tag}/{i}", 1) for i in range(n_keys)]
+            + [(f"http://{tag}/fresh", 1)], schema
+        ).write.mode("append").parquet(os.path.join(src, "b1.parquet"))
+        got2 = []
+        run_once(src, ckpt, got2, state_mode="bloom", bloom_bytes=16384)
+        assert got2 == [(f"http://{tag}/fresh", 1)]
+        return state_bytes(ckpt)
+
+    # ceiling: 2 committed batches x 4 shards x 16 KiB of logical state,
+    # plus state-store/commit-log metadata — INDEPENDENT of key count
+    bound = 2 * 4 * 16384 + 64 * 1024
+    small = drive(100, "small")
+    big = drive(20000, "big")
+    assert small < bound, (small, bound)
+    assert big < bound, (big, bound)  # 200x the keys, same ceiling
+
+
 def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
     """The same builder over a static frame and a stream (availableNow) must
     agree — unified batch/stream semantics."""

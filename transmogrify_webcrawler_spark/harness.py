@@ -721,6 +721,39 @@ FROM embeddings WHERE vec_id < 500
 """
 
 
+def q_lsh_knn_verified(spark, sf_dir):
+    """ANN top-1 recall, ORACLE-CHECKED (the embedding_dedup twin trick
+    applied to the banded lsh_knn): queries are scaled twins
+    (q_id = vec_id + 1000000, 2*v) of the first 500 corpus vectors.
+    Sign-LSH signatures are scale-invariant — 2v lands on the same side of
+    every hyperplane as v — so EVERY band agrees between a query and its
+    twin and the banded candidate join provably cannot miss the pair; the
+    twin's exact cosine is 1.0, strictly above any inter-vector cosine in
+    this corpus (measured max 0.51), so it must surface at rank 1. The
+    oracle constructs the expected (q_id, vec_id, 1.0, 1) table
+    arithmetically; equality is a 100%-top-1-recall assertion over the
+    complete pipeline: signature UDF -> band explode -> candidate join ->
+    exact-cosine re-rank. The generic-path `lsh_knn` rows-only entry
+    remains for arbitrary queries."""
+    from .operators.similarity import lsh_knn
+
+    base = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    q = base.select(
+        (F.col("vec_id") + 1000000).alias("q_id"),
+        F.transform("embedding", lambda x: x * 2).alias("q_vec"))
+    return lsh_knn(base, q, k=1, n_planes=8, bands=4, dim=64)
+
+
+SQL_LSH_KNN_VERIFIED = """
+SELECT vec_id + 1000000 AS q_id, vec_id, 1.0 AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 500
+"""
+
+
 def q_embedding_norm(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -827,10 +860,19 @@ def _be(col, nhex: int):
     return F.unhex(F.lpad(F.hex(col), nhex, "0"))
 
 
+def _le(col, nbytes: int):
+    """Little-endian unsigned int as binary (Catalyst-only): low byte
+    first, one byte at a time."""
+    return F.concat(*[
+        _be(F.shiftright(col, 8 * i).bitwiseAND(255), 2)
+        for i in range(nbytes)])
+
+
 def _media_fixture(spark, sf_dir):
     """Synthesized media table over documents with REAL container headers —
-    PNG IHDR / GIF screen descriptor / JPEG SOF0 frames built byte-exact
-    from doc_id, so the decoded dimensions are SQL-constructible."""
+    PNG IHDR / GIF screen descriptor / JPEG SOF0 frames and canonical
+    44-byte WAV (RIFF fmt+data) files built byte-exact from doc_id, so the
+    decoded dimensions AND the WAV duration are SQL-constructible."""
     d = _read(spark, sf_dir, "documents")
     did = F.col("doc_id")
     png = F.concat(
@@ -847,22 +889,33 @@ def _media_fixture(spark, sf_dir):
         F.lit(bytes.fromhex("FFD8FFC0001108")),
         _be(did % 400 + 1, 4), _be(did % 500 + 1, 4),
         F.lit(bytes.fromhex("03010011020011030011FFD9")))
-    mp3 = F.concat(F.lit(b"ID3"),
-                   F.repeat(F.lit("x"), (did % 50).cast("int"))
-                   .cast("binary"))
+    # canonical PCM WAV: 1 channel x 8-bit => byte_rate == sample_rate;
+    # duration = data_size / byte_rate (exact arithmetic both engines)
+    rate = did % 8 * 1000 + 8000       # byte_rate: 8000..15000
+    dsz = did % 2000 + 100             # data chunk size: 100..2099
+    wav = F.concat(
+        F.lit(b"RIFF"), _le(dsz + 36, 4),
+        F.lit(b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")),
+        _le(rate, 4), _le(rate, 4),
+        F.lit((1).to_bytes(2, "little") + (8).to_bytes(2, "little")),
+        F.lit(b"data"), _le(dsz, 4),
+        F.repeat(F.lit("x"), dsz.cast("int")).cast("binary"))
     return d.select(
         did.alias("media_id"),
         F.when(did % 4 == 0, png).when(did % 4 == 1, gif)
-        .when(did % 4 == 2, jpg).otherwise(mp3).alias("payload"))
+        .when(did % 4 == 2, jpg).otherwise(wav).alias("payload"))
 
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal metadata, ORACLE-CHECKED: payloads carry real PNG/GIF/JPEG
-    headers built from doc_id, the mapInPandas kernel parses the actual
-    bytes (operators.multimodal.image_dimensions), and the oracle SQL
+    and WAV container bytes built from doc_id; the mapInPandas kernel
+    parses the actual bytes (operators.multimodal.image_dimensions /
+    wav_duration — the RIFF fmt/data chunk walk), and the oracle SQL
     reconstructs every expected value arithmetically — a wrong byte offset
-    anywhere in the parser or the fixture fails the hash compare. Only
-    audio duration remains the documented stub (n_bytes/1000)."""
+    anywhere in the parser or the fixture fails the hash compare. WAV
+    duration is REAL decode (data_size/byte_rate); the remaining stub
+    surface is video-container duration + the feature vector."""
     from .operators.multimodal import extract_media_meta
 
     return extract_media_meta(_media_fixture(spark, sf_dir)).select(
@@ -873,9 +926,9 @@ def q_multimodal_meta(spark, sf_dir):
 SQL_MULTIMODAL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-            WHEN 2 THEN 'image/jpeg' ELSE 'audio/mpeg' END AS mimetype,
+            WHEN 2 THEN 'image/jpeg' ELSE 'audio/wav' END AS mimetype,
        (CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
-             ELSE 3 + doc_id % 50 END)::BIGINT AS n_bytes,
+             ELSE 44 + doc_id % 2000 + 100 END)::BIGINT AS n_bytes,
        (CASE doc_id % 4 WHEN 0 THEN doc_id % 200 + 1
              WHEN 1 THEN doc_id % 300 + 1
              WHEN 2 THEN doc_id % 500 + 1 END)::INTEGER AS width,
@@ -883,7 +936,8 @@ SELECT doc_id AS media_id,
              WHEN 1 THEN doc_id % 150 + 1
              WHEN 2 THEN doc_id % 400 + 1 END)::INTEGER AS height,
        CASE WHEN doc_id % 4 = 3
-            THEN round((3 + doc_id % 50) / 1000.0, 6) END AS duration_s
+            THEN round((doc_id % 2000 + 100)
+                       / (doc_id % 8 * 1000 + 8000.0), 6) END AS duration_s
 FROM documents
 """
 
@@ -932,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": q_minhash_verified,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
+        "lsh_knn_verified": q_lsh_knn_verified,
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
@@ -977,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": SQL_MINHASH_VERIFIED,
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
+        "lsh_knn_verified": SQL_LSH_KNN_VERIFIED,
         "embedding_norm": SQL_EMB_NORM,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,

@@ -126,14 +126,23 @@ def range_topk(df: DataFrame, k: int, n_parts: int | None = None,
     The ranged intermediate is persisted so the count job and the downstream
     consumers see the SAME materialized partitioning (spark_partition_id is
     only meaningful against one materialization; MEMORY_AND_DISK default
-    means eviction-triggered resampling can't occur short of executor
-    loss)."""
+    means eviction-triggered resampling can't occur short of executor loss).
+    Executor loss is NOT rare at the 10^10-URL design point this path
+    exists for, and a silent recompute could reassign _pid while the
+    collected counts stay stale — silently selecting the wrong rows. Two
+    defenses: (a) if the session has a reliable checkpoint dir configured,
+    the ranged intermediate is CHECKPOINTED (durable, survives executor
+    loss) instead of merely persisted; (b) either way the selected row
+    count is re-verified against the expected k after selection and a
+    mismatch raises instead of committing corrupt state."""
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                                "200"))
     ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in keys])
-                .withColumn("_pid", F.spark_partition_id())
-                .persist())
+                .withColumn("_pid", F.spark_partition_id()))
+    has_ckpt_dir = (
+        df.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined())
+    ranged = ranged.checkpoint() if has_ckpt_dir else ranged.persist()
     if caches is not None:
         caches.append(ranged)
     counts = sorted(
@@ -156,7 +165,20 @@ def range_topk(df: DataFrame, k: int, n_parts: int | None = None,
         .filter(F.col("_r") <= remainder)
         .drop("_r")
     )
-    return whole.unionByName(boundary).drop("_pid")
+    out = whole.unionByName(boundary).drop("_pid")
+    # loud corruption guard: if the materialization was lost and recomputed
+    # with different sampled boundaries, the stale counts/cutoff select a
+    # wrong row set — its size almost surely != k. One extra cheap job
+    # (reads the persisted/checkpointed intermediate) on the scale path.
+    n_out = out.count()
+    if n_out != k:
+        raise RuntimeError(
+            f"range_topk selected {n_out} rows, expected {k}: the ranged "
+            "materialization was likely lost and recomputed with different "
+            "partition boundaries (executor loss). Re-run the wave; for "
+            "durable protection set a Spark checkpoint dir "
+            "(sc.setCheckpointDir) so the intermediate survives.")
+    return out
 
 
 def assign_sortorder(emitted: DataFrame, offset: int,

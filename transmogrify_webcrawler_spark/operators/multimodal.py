@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns with
 typed metadata (the brief's multimodal requirement).
 
-IMAGE DIMENSIONS ARE REAL: PNG IHDR, JPEG SOF marker walk, and GIF logical
-screen descriptor are parsed straight from the payload bytes (container
-formats put width/height in fixed header positions — no imaging library
-needed, none is installed in this container). Still stubbed, clearly marked:
-audio/video DURATION (needs a real media demuxer) and the 8-byte `feature`
+IMAGE DIMENSIONS, WAV DURATION, AND MP3 DURATION ESTIMATES ARE REAL: PNG
+IHDR, JPEG SOF marker walk, GIF logical screen descriptor, the RIFF/WAVE
+fmt+data chunk walk, and the MPEG audio frame header are parsed straight
+from the payload bytes (these containers put the needed fields at fixed
+header positions — no media library needed, none is installed in this
+container). Still stubbed, clearly marked: other audio/video container
+duration (MP4 et al. need a real demuxer) and the 8-byte `feature`
 (stands in for an embedding model). Every Spark-side piece is real and
 tested: the schema contract, the mapInPandas iterator shape, Arrow batch
 sizing for fat binary columns, and the partitioning story (repartition on a
@@ -79,21 +81,90 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def wav_duration(payload: bytes) -> float | None:
+    """REAL WAV duration, zero dependencies: RIFF chunk walk — the `fmt `
+    chunk carries byte_rate (little-endian uint32 at chunk-body offset 8),
+    the `data` chunk's declared size divided by it IS the duration (exact
+    arithmetic for PCM; this is what ffprobe reports for canonical WAVs).
+    Chunks are even-padded per the RIFF spec."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, byte_rate, data_size = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        csz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 20 <= len(b):
+            byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)
+    if byte_rate and data_size is not None:
+        return data_size / byte_rate
+    return None
+
+
+# MPEG audio Layer III bitrates (kbps) by bitrate index: V1 = MPEG-1,
+# V2 = MPEG-2/2.5 (indices 0 and 15 are free/bad — unusable for estimates)
+_MP3_KBPS_V1 = (None, 32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, None)
+_MP3_KBPS_V2 = (None, 8, 16, 24, 32, 40, 48, 56, 64,
+                80, 96, 112, 128, 144, 160, None)
+
+
+def mp3_duration_estimate(payload: bytes) -> float | None:
+    """MP3 duration ESTIMATE from the first audio frame header: skip any
+    ID3v2 tag (syncsafe size), find the 11-bit frame sync, read the bitrate
+    index, duration ~= audio_bytes*8/bitrate — exact for CBR files, the
+    standard quick estimate for VBR (a real demuxer would walk every frame
+    or read the Xing header). None when no valid frame exists."""
+    b = payload
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        i = 10 + (((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+                  | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            version = (b[i + 1] >> 3) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b[i + 1] >> 1) & 0x03     # 1 = Layer III
+            br_idx = (b[i + 2] >> 4) & 0x0F
+            if layer == 1 and br_idx not in (0, 15):
+                kbps = (_MP3_KBPS_V1 if version == 3
+                        else _MP3_KBPS_V2)[br_idx]
+                if kbps:
+                    return (n - i) * 8 / (kbps * 1000.0)
+        i += 1
+    return None
+
+
 def _decode(payload: bytes, mimetype: str) -> dict:
-    """Image dimensions are parsed for real (image_dimensions above).
-    STUBS, clearly marked: audio/video duration (a real deployment plugs an
-    ffprobe-style demuxer here — deterministic fake keeps tests stable) and
-    the 8-byte feature (stands in for an embedding model's output).
-    Raises for genuinely unsupported types, mirroring a real decoder."""
+    """Image dimensions, WAV duration, and MP3 duration estimates are parsed
+    for REAL from the raw bytes (image_dimensions / wav_duration /
+    mp3_duration_estimate above). STUBS, clearly marked: other audio/video
+    container duration (a real deployment plugs an ffprobe-style demuxer
+    here — None keeps the gap visible) and the 8-byte feature (stands in
+    for an embedding model's output; capped byte-sum — the first 4 KiB is
+    plenty for a throwaway value and giant media blobs must not be walked
+    per byte in the hot path). Raises for genuinely unsupported types,
+    mirroring a real decoder."""
+    feature = bytes([sum(payload[:4096]) % 256] * 8)  # STUB embedding
     if mimetype.startswith("image/"):
         dims = image_dimensions(payload)
         return dict(width=dims[0] if dims else None,
                     height=dims[1] if dims else None, duration_s=None,
-                    feature=bytes([sum(payload) % 256] * 8))
+                    feature=feature)
+    if mimetype in ("audio/wav", "audio/x-wav"):
+        return dict(width=None, height=None,
+                    duration_s=wav_duration(payload), feature=feature)
+    if mimetype == "audio/mpeg":
+        return dict(width=None, height=None,
+                    duration_s=mp3_duration_estimate(payload),
+                    feature=feature)
     if mimetype.startswith(("audio/", "video/")):
         return dict(width=None, height=None,
-                    duration_s=float(len(payload)) / 1000.0,  # STUB
-                    feature=bytes([len(payload) % 256] * 8))
+                    duration_s=None,  # STUB: needs a real demuxer
+                    feature=feature)
     raise NotImplementedError(f"no decoder for {mimetype}")
 
 

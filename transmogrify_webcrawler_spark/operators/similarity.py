@@ -76,7 +76,11 @@ def cosine_dedup_pairs(emb: DataFrame, threshold: float = 0.95,
     patterns, so every band agrees and the pair is a guaranteed candidate;
     near-dups are found with P = 1-(1-p^w)^L, tunable via `bands`."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        # an implicit .first() probe here would be a silent driver-side
+        # Spark job per call on the hot path — the caller always knows the
+        # embedding dimensionality (it is part of the table contract)
+        raise ValueError("cosine_dedup_pairs requires dim= (the embedding "
+                         "dimensionality); no implicit corpus probe")
     sig = _band_sig_udf(dim, n_planes, bands)
     e_b = emb.select(
         F.col(id_col).alias("vid"),
@@ -142,7 +146,8 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     `q_broadcast_rows` (one count job on the small-by-contract side);
     beyond it the join falls back to shuffle and AQE decides."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError("lsh_knn requires dim= (the embedding "
+                         "dimensionality); no implicit corpus probe")
     # signature = one matrix multiply per Arrow batch (a Catalyst rendering
     # of bands*n_planes x dim literal exprs blows up codegen at real
     # embedding dims, 768+); O(1) plan size at any dim/plane count

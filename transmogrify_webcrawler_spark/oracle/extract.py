@@ -163,6 +163,9 @@ _MAGIC = [
     (b"PK\x03\x04", "application/zip"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
+    # raw MPEG audio frame sync (no ID3 tag): 11 set bits + version/layer
+    (b"\xff\xfb", "audio/mpeg"), (b"\xff\xfa", "audio/mpeg"),
+    (b"\xff\xf3", "audio/mpeg"), (b"\xff\xf2", "audio/mpeg"),
 ]
 
 _EXT_MAP = {

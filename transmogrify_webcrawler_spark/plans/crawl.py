@@ -172,6 +172,26 @@ class SparkCrawlConfig:
     fetch_mode: str = "per-wave"
 
 
+def fetch_join_plan(sel: DataFrame, selected: DataFrame,
+                    pages_prepared: DataFrame, budget: int,
+                    selected_broadcast_rows: int) -> DataFrame:
+    """S1/J2 fetch as plan surgery: semi-join the corpus against the wave's
+    selected url set FIRST, broadcast-hinted only while the wave budget is
+    under `selected_broadcast_rows` — then the corpus side never shuffles
+    (scan + broadcast hash join) and only the wave-sized hit set enters the
+    left-outer join's exchange. Above the guard (10^7+-URL waves) the hint
+    is dropped: a broadcast of that key set would OOM the executors, so the
+    corpus-wide shuffle join is the honest plan and AQE keeps (or at
+    runtime re-derives) the right strategy. A left join against the raw
+    corpus finds matches among selected keys anyway, so both regimes are
+    semantically identical (plan-tested in tests/test_plans.py)."""
+    sel_keys = selected.select("url_canon")
+    if budget <= selected_broadcast_rows:
+        sel_keys = F.broadcast(sel_keys)
+    hits = pages_prepared.join(sel_keys, "url_canon")
+    return sel.join(hits, "url_canon", "left")
+
+
 def content_type_expr(mimetype):
     """T2 typerecognitor as a Catalyst CASE, generated FROM the oracle's
     pinned map so the two cannot diverge."""
@@ -239,6 +259,24 @@ class SparkCrawler:
         self.write_timings: list[dict] = []  # per-table commit write times
         self._winners: DataFrame | None = None  # pinned dedup dim (skinny)
         ship_package(spark)  # executors need the oracle inside the UDFs
+        # crawler tuning must not bleed into whatever the session runs next
+        # (bench.py times harness queries on the same session): remember the
+        # prior values of every conf this constructor overrides and restore
+        # them when run() finishes.
+        self._conf_keys = (
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        )
+        self._saved_confs = {k: spark.conf.get(k, None)
+                             for k in self._conf_keys}
+        self._saved_parquet_block = (
+            spark.sparkContext._jsc.hadoopConfiguration()
+            .get("parquet.block.size"))
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(cfg.arrow_batch))
         spark.conf.set("spark.sql.files.maxPartitionBytes",
@@ -262,6 +300,23 @@ class SparkCrawler:
         spark.conf.set(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true")
+
+    def restore_session_confs(self) -> None:
+        """Undo every session-global conf __init__ set (idempotent)."""
+        for k in self._conf_keys:
+            prev = self._saved_confs.get(k)
+            if prev is None:
+                try:
+                    self.spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                self.spark.conf.set(k, prev)
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if self._saved_parquet_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", self._saved_parquet_block)
 
     @contextmanager
     def _timed(self, wave: int, step: str):
@@ -444,16 +499,8 @@ class SparkCrawler:
             "allowed",
             robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
         ).drop("robots_txt")
-        # corpus side: semi-join on the broadcast selected keys FIRST — the
-        # corpus never shuffles (scan + broadcast hash join); only the
-        # wave-sized hit set enters the left-outer join's exchange. A left
-        # join against the raw corpus finds matches among selected keys
-        # anyway, so this is plan surgery, not a semantics change.
-        sel_keys = selected.select("url_canon")
-        if budget <= cfg.selected_broadcast_rows:
-            sel_keys = F.broadcast(sel_keys)
-        hits = pages_prepared.join(sel_keys, "url_canon")
-        fetched = sel.join(hits, "url_canon", "left")
+        fetched = fetch_join_plan(sel, selected, pages_prepared, budget,
+                                  cfg.selected_broadcast_rows)
         is_precomputed = "n_bytes" in pages_prepared.columns
         body_len = (F.col("n_bytes") if is_precomputed
                     else F.length("html"))
@@ -729,6 +776,15 @@ class SparkCrawler:
 
     # -- full crawl ------------------------------------------------------------
     def run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
+        try:
+            return self._run(pages, seeds)
+        finally:
+            # session-global tuning (arrow batch, partition bytes, AQE
+            # knobs, parquet block size) must not outlive the crawl: the
+            # same session may run unrelated queries next (bench.py does)
+            self.restore_session_confs()
+
+    def _run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
 
         cfg, spark = self.cfg, self.spark
@@ -750,27 +806,33 @@ class SparkCrawler:
             n = robots_full.count()
             return n, round(time.time() - t0, 3)
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        fut_robots = pool.submit(_count_robots)
-        pages_prepared = self.prepare_pages(pages)
-        # Crawl-delay politeness dim: only delay-bearing domains carry a row
-        domain_budgets = robots_full.filter(
-            F.col("crawl_delay") > 0
-        ).select(
-            "registered_domain",
-            F.least(
-                F.lit(cfg.per_domain_budget),
-                F.greatest(F.lit(1), F.floor(
-                    F.lit(float(cfg.wave_seconds)) / F.col("crawl_delay"))),
-            ).cast("int").alias("dom_budget"),
-        )
-        if cfg.fetch_mode == "precompute":
-            with self._timed(-1, "precompute_extraction"):
-                pages_prepared = self._precompute_extraction(pages_prepared)
-        elif cfg.cache_corpus == "full":
-            pages_prepared = pages_prepared.persist()
-        n_robots, robots_sec = fut_robots.result()  # overlapped with prep
-        pool.shutdown()
+        # `with` reaps the count thread on every exit path — if corpus prep
+        # raises, the background Spark job is not left running against a
+        # torn-down driver (shutdown cancels the pending future).
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_robots = pool.submit(_count_robots)
+            pages_prepared = self.prepare_pages(pages)
+            # Crawl-delay politeness dim: only delay-bearing domains carry
+            # a row
+            domain_budgets = robots_full.filter(
+                F.col("crawl_delay") > 0
+            ).select(
+                "registered_domain",
+                F.least(
+                    F.lit(cfg.per_domain_budget),
+                    F.greatest(F.lit(1), F.floor(
+                        F.lit(float(cfg.wave_seconds))
+                        / F.col("crawl_delay"))),
+                ).cast("int").alias("dom_budget"),
+            )
+            if cfg.fetch_mode == "precompute":
+                with self._timed(-1, "precompute_extraction"):
+                    pages_prepared = self._precompute_extraction(
+                        pages_prepared)
+            elif cfg.cache_corpus == "full":
+                pages_prepared = pages_prepared.persist()
+            n_robots, robots_sec = fut_robots.result(
+                timeout=3600)  # overlapped with prep
         self.timings.append(dict(wave=-1, step="robots_prep",
                                  sec=robots_sec))
         robots = robots_full.select("registered_domain", "robots_txt")

@@ -180,7 +180,12 @@ class SnapshotStore:
                     if os.path.exists(final):
                         shutil.rmtree(final)
                     os.replace(src, final)
-                else:  # zero rows this wave: schema-bearing empty dir
+                else:  # zero rows this wave: schema-bearing empty dir.
+                    # Clear any stale dir first (a retried torn commit may
+                    # have left data files from the failed attempt — they
+                    # would survive next to the empty marker and leak into
+                    # _footer_row_count and the published snapshot).
+                    shutil.rmtree(final, ignore_errors=True)
                     _write_empty_parquet(final, df.schema)
                 self.last_write_counts[name] = _footer_row_count(final)
                 out_rels.append((name, rel))
