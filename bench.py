@@ -182,6 +182,7 @@ def bench_crawl(spark, n_pages: int, body_words: int = 30) -> dict:
                                           "1e18")),
         arrow_batch=int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048")),
         fetch_mode=os.environ.get("SPARK_GRAFT_FETCH_MODE", "per-wave"),
+        pipeline_commits=os.environ.get("SPARK_GRAFT_PIPELINE", "1") == "1",
     )
     crawler = SparkCrawler(spark, store, cfg)
     t0 = time.time()
