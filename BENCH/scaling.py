@@ -268,6 +268,22 @@ local[32] (each measured in isolation, now engine defaults):
 Net effect: 274 -> 508 pages/sec end-to-end on the round-2 scaling
 configuration (50k-page corpus, local[32], same-session A/B).
 
+## Round-4 experiments: the 8->32 gap is NOT the disk (attribution closed)
+
+Measured 2026-08-17 (round 4), ENGINE shape, `--tmpfs-ab`, median-of-3:
+disk arm 250.9 -> 307.5 pages/sec (8->32 eff 0.306); tmpfs arm (store on
+/dev/shm AND spark.local.dir on /dev/shm) 258.2 -> 364.7 (eff 0.353).
+**Attribution: REFUTED for disk** — removing virtually all engine disk IO
+recovers only ~0.05 efficiency against the 0.91 parser-kernel ceiling.
+The residual is engine-on-this-box (shuffle serialization / Arrow / GC
+memory-bandwidth + per-wave fixed cost). Corroboration: pipelined commits
+(pipeline_commits=True) hide ALL commit wall (commit_join ~0 s) yet total
+got WORSE (187 -> 199 s at local[32]) — commit tasks do parquet encoding
+on the same cores; no idle resource exists to overlap into on one box.
+Recorded decision: stop chasing 8->32 on this VM; the N->4N gate stands
+on 2->8 (ENGINE 0.804, BULK 0.802); the pipelined-commit switch targets
+clusters with network-bound commit flush.
+
 Variance disclosure (shared VM, host steal): identical runs measured this
 session differ by up to ~1.7x wall (e.g. the DEFAULT sf0.1 bench crawl ran
 86-135 s on round-3 code AND 86 s on round-2 code that was recorded at

@@ -175,6 +175,35 @@ def test_image_dimensions_real_parsers():
     assert image_dimensions(b"") is None
 
 
+def test_ivf_knn_recall_and_nprobe_trade(spark):
+    """IVF ANN: (a) full-probe (nprobe = n_centroids) searches every bucket
+    and must EQUAL exact brute force; (b) partial probe trades recall for
+    cost but stays useful on clustered data (the regime IVF exists for)."""
+    from transmogrify_webcrawler_spark.operators.similarity import (
+        brute_force_knn, ivf_knn)
+
+    import random
+    rng = random.Random(7)
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = [(i, [x + rng.gauss(0, 0.1) for x in centers[i % 4]])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in brute_force_knn(emb, q, k=5).collect()}
+    full = {(r["q_id"], r["vec_id"])
+            for r in ivf_knn(emb, q, k=5, n_centroids=8, nprobe=8,
+                             dim=dim).collect()}
+    assert full == exact  # probing every bucket IS brute force
+    part = {(r["q_id"], r["vec_id"])
+            for r in ivf_knn(emb, q, k=5, n_centroids=8, nprobe=2,
+                             dim=dim).collect()}
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.6, recall
+
+
 def _wav(seconds=1.0, framerate=22050, channels=2, sampwidth=2):
     """A genuine WAV via the stdlib writer — the parser is tested against
     real RIFF output, not bytes we laid out ourselves."""

@@ -754,6 +754,36 @@ FROM embeddings WHERE vec_id < 500
 """
 
 
+def q_ivf_knn_verified(spark, sf_dir):
+    """IVF (inverted-file) ANN top-1 recall, ORACLE-CHECKED via the same
+    scaled-twin construction as lsh_knn_verified: assignment is by COSINE
+    against unit-normalized spherical-k-means centroids, and a twin 2v
+    normalizes to the bit-identical unit vector as v (power-of-two
+    scaling is exact in IEEE), so query and twin land in the same bucket
+    with probability 1 — the nprobe probe provably contains it, exact
+    cosine is 1.0 and the rank-1 winner is forced. Equality against the
+    arithmetically-constructed oracle covers the whole pipeline: codebook
+    training (deterministic sample), assignment UDF, bucket join,
+    re-rank."""
+    from .operators.similarity import ivf_knn
+
+    base = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    q = base.select(
+        (F.col("vec_id") + 1000000).alias("q_id"),
+        F.transform("embedding", lambda x: x * 2).alias("q_vec"))
+    return ivf_knn(base, q, k=1, n_centroids=16, nprobe=2, dim=64)
+
+
+SQL_IVF_KNN_VERIFIED = """
+SELECT vec_id + 1000000 AS q_id, vec_id, 1.0 AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 500
+"""
+
+
 def q_embedding_norm(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -987,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "lsh_knn_verified": q_lsh_knn_verified,
+        "ivf_knn_verified": q_ivf_knn_verified,
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
@@ -1033,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
         "lsh_knn_verified": SQL_LSH_KNN_VERIFIED,
+        "ivf_knn_verified": SQL_IVF_KNN_VERIFIED,
         "embedding_norm": SQL_EMB_NORM,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,

@@ -2,10 +2,17 @@
 
 - brute_force_knn: exact cosine top-k, fully Catalyst (zip_with/aggregate dot
   product + TakeOrdered per query) — the correctness baseline.
-- lsh_knn: random-hyperplane LSH bucketing — the 100 TB path: each vector is
+- lsh_knn: random-hyperplane LSH bucketing — a 100 TB path: each vector is
   signed against H fixed hyperplanes (deterministic, seed-derived), candidates
   meet only inside a bucket, exact cosine re-rank within. Recall tunable via
   bands/hyperplanes; never materializes the n^2 pair space.
+- ivf_knn: the OTHER standard ANN scale path (FAISS-style inverted file):
+  spherical k-means centroids trained on a bounded deterministic sample,
+  every corpus vector assigned to its nearest centroid's bucket, queries
+  probe their nprobe nearest buckets, exact cosine re-rank inside. Cosine
+  (angular) assignment on purpose — it is scale-invariant, which both
+  matches the cosine re-rank metric and makes recall provable for scaled
+  twins (the oracle construction).
 """
 
 from __future__ import annotations
@@ -127,6 +134,124 @@ def _band_sig_udf(dim: int, n_planes: int, bands: int):
     return sig_udf
 
 
+def _topk_rerank(scored: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine re-rank tail: top-k per query, deterministic
+    tie-break on vec_id, cosine rounded only in the OUTPUT (rank is
+    computed on the raw value)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                "rank")
+    )
+
+
+def train_centroids_spherical(emb: DataFrame, n_centroids: int,
+                              iters: int = 5, sample: int = 4096,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding"):
+    """Spherical k-means codebook for the IVF index, trained driver-side on
+    a BOUNDED deterministic sample (orderBy(xxhash64(id)) — a seeded
+    pseudo-random draw that is stable across runs and partitionings).
+    Training on a sample is the standard IVF practice (a codebook of
+    n_centroids x dim floats is tiny; FAISS does exactly this) — the
+    bounded `sample` collect is the only driver transfer, never the
+    corpus. Returns a unit-normalized (n_centroids x dim) numpy array."""
+    import numpy as np
+
+    rows = (emb.select(vec_col)
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                            F.lit(1 << 30)), id_col)
+            .limit(sample).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.linalg.norm(c, axis=1, keepdims=True) + 1e-12
+    return c
+
+
+def _ivf_assign_udf(centroids, nprobe: int):
+    """Top-nprobe centroid ids by cosine — ONE (batch x dim) @ (dim x k)
+    matmul per Arrow batch (same O(1)-plan-size trick as the LSH
+    signature); the codebook rides the UDF closure (n_centroids x dim
+    float64 — KBs)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy()).astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        sims = mat @ centroids.T
+        if nprobe == 1:
+            top = sims.argmax(axis=1)[:, None]
+        else:
+            np_ = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
+        return pd.Series(list(top.astype("int32")))
+
+    return assign
+
+
+def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+            n_centroids: int = 16, nprobe: int = 4,
+            dim: int | None = None, centroids=None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+            q_broadcast_rows: int = 4_000_000) -> DataFrame:
+    """ANN via an inverted-file index (IVF): corpus vectors live in the
+    bucket of their nearest (by cosine) centroid; a query searches only
+    its `nprobe` nearest buckets; exact cosine re-ranks the union. Recall
+    is tunable via nprobe at fixed index cost — the standard FAISS trade.
+
+    Scale shape: the bucket join carries only (id, bucket) — vectors never
+    ride the explode; embeddings re-attach to the DISTINCT candidates. At
+    the 100 TB point the corpus assignment is written ONCE as a bucketed
+    table (`bucket` is a partition key, so a probe prunes to nprobe/k of
+    the data); here the assignment is computed inline. Pass `centroids`
+    to reuse a trained codebook (and make the index deterministic across
+    calls); else one is trained on a bounded sample."""
+    if dim is None:
+        raise ValueError("ivf_knn requires dim= (the embedding "
+                         "dimensionality); no implicit corpus probe")
+    if centroids is None:
+        centroids = train_centroids_spherical(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    corpus_assign = _ivf_assign_udf(centroids, 1)
+    query_assign = _ivf_assign_udf(centroids, nprobe)
+    e_b = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(corpus_assign(F.col(vec_col))).alias("bucket"))
+    q_b = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(query_assign(F.col(q_vec_col))).alias("bucket"))
+    q_dim = queries.select(F.col(q_id_col).alias("q_id"),
+                           F.col(q_vec_col).alias("q_vec"))
+    if queries.count() <= q_broadcast_rows:
+        q_b, q_dim = F.broadcast(q_b), F.broadcast(q_dim)
+    cand = (
+        e_b.join(q_b, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id").distinct()
+    )
+    scored = with_cosine(
+        cand.join(emb.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("embedding")), "vec_id")
+            .join(q_dim, "q_id"),
+        "embedding", "q_vec")
+    return _topk_rerank(scored, k)
+
+
 def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = 16, bands: int = 4, dim: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -172,11 +297,4 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
                              F.col(vec_col).alias("embedding")), "vec_id")
             .join(q_dim, "q_id"),
         "embedding", "q_vec")
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
-                "rank")
-    )
+    return _topk_rerank(scored, k)
