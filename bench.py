@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     # round-3 additions (keys appended — earlier keys stay comparable
     # across BENCH_r{N}.json)
     "embedding_dedup", "session_windows", "multimodal_meta",
+    # round-4 additions: both ANN paths (oracle-checked) + media resize
+    "lsh_knn_verified", "ivf_knn_verified", "media_resize",
 ]
 
 
