@@ -123,3 +123,54 @@ def test_empty_roots_scope_is_false(spark):
     df = spark.createDataFrame(
         [("http://example.com/a.html",)], "dst string")
     assert df.filter(in_scope_expr(F.col("dst"), ())).count() == 0
+
+
+def test_grouped_zero_rows_clears_stale_dir(spark, tmp_path):
+    """Round-4 ADVICE: a retried torn commit left data files in a table dir
+    that now receives ZERO rows via the grouped write — the empty-table
+    branch must clear the stale dir, or leaked rows surface in the footer
+    counts and the published snapshot."""
+    from transmogrify_webcrawler_spark.sources.icetable import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    empty = a.limit(0)
+    # simulate the torn attempt: stale files already sit where wave 0's
+    # grouped rename will land for table 'b'
+    import os
+    stale = os.path.join(store.root, "data", "b", "wave=000000")
+    a.write.mode("overwrite").parquet(stale)
+    m = store.commit_wave(0, appends={"a": a, "b": empty, "c": a},
+                          replaces={})
+    assert m["counts"]["b"] == 0  # stale rows gone, not leaked
+    assert store.read(spark, "b").count() == 0
+
+
+def test_crawler_restores_session_confs(spark, pages_df, corpus):
+    """Round-4 ADVICE: crawler tuning (arrow batch, partition bytes, AQE
+    knobs, parquet block size) must not bleed into whatever the session
+    runs after run() returns."""
+    import tempfile
+
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler,
+    )
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    cfg = SparkCrawlConfig(wave_size=50, per_domain_budget=20,
+                           maxsize=64 * 1024, ignore=corpus["ignore"],
+                           max_waves=1, use_bloom=False, arrow_batch=64)
+    store = tempfile.mkdtemp(prefix="conf_restore_")
+    crawler = SparkCrawler(spark, store, cfg)
+    # __init__ applied the crawler tuning...
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch") == "64"
+    crawler.run(pages_df, corpus["seeds"])
+    # ...and run() restored every overridden conf on the way out
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch") == "2048"
+    assert spark.conf.get(
+        "spark.sql.files.maxPartitionBytes") == str(128 << 20)
+    import shutil
+    shutil.rmtree(store, ignore_errors=True)
