@@ -97,3 +97,78 @@ def test_extract_links_base_rewrite_order():
             b'<a href="two">2</a>')
     links = extract_links(html, "http://a.com/")
     assert links == ["http://a.com/one", "http://b.com/sub/two"]
+
+
+@given(framerate=st.integers(1000, 96000), channels=st.integers(1, 8),
+       sampwidth=st.sampled_from([1, 2, 3, 4]),
+       n_frames=st.integers(0, 5000))
+@settings(max_examples=200, deadline=None)
+def test_wav_duration_matches_stdlib_writer(framerate, channels, sampwidth,
+                                            n_frames):
+    """wav_duration over ANY stdlib-`wave`-written file equals
+    n_frames/framerate exactly: data_bytes/byte_rate is
+    (n*ch*sw)/(fr*ch*sw) — the integer products are exact in float64 and
+    a correctly-rounded quotient of the same real value is bit-identical
+    to n/fr."""
+    import io
+    import wave
+
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        wav_duration)
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(sampwidth)
+    w.setframerate(framerate)
+    w.writeframes(b"\x00" * (n_frames * channels * sampwidth))
+    w.close()
+    assert wav_duration(buf.getvalue()) == n_frames / framerate
+
+
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       container=st.sampled_from(["png", "gif", "jpeg"]))
+@settings(max_examples=200, deadline=None)
+def test_resize_dimension_round_trip(w, h, container):
+    """image_dimensions(resize_image_bytes(p, w, h)) == (w, h) for every
+    container across the full uint16 range (PNG carries uint32 but the
+    shared range keeps one strategy), and byte length is preserved."""
+    import struct
+
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        image_dimensions, resize_image_bytes)
+
+    if container == "png":
+        p = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+             + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    elif container == "gif":
+        p = (b"GIF89a" + (320).to_bytes(2, "little")
+             + (200).to_bytes(2, "little") + b"\x00\x00\x00")
+    else:
+        p = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+             + b"\x00" * 9 + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+             + struct.pack(">HH", 480, 640) + b"\x03"
+             + b"\x01\x00\x11\x02\x00\x11\x03\x00\x11" + b"\xff\xd9")
+    out = resize_image_bytes(p, w, h)
+    assert image_dimensions(out) == (w, h)
+    assert len(out) == len(p)
+
+
+@given(kbps_index=st.integers(1, 14), audio_kb=st.integers(1, 64),
+       tag_pad=st.integers(0, 200))
+@settings(max_examples=200, deadline=None)
+def test_mp3_estimate_formula(kbps_index, audio_kb, tag_pad):
+    """The CBR estimate equals audio_bytes*8/bitrate for any bitrate index
+    and any ID3v2 tag size (syncsafe skip must land exactly on the frame
+    sync)."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        _MP3_KBPS_V1, mp3_duration_estimate)
+
+    tag = (b"ID3\x04\x00\x00"
+           + bytes([(tag_pad >> 21) & 0x7F, (tag_pad >> 14) & 0x7F,
+                    (tag_pad >> 7) & 0x7F, tag_pad & 0x7F])
+           + b"\x00" * tag_pad)
+    audio = bytes([0xFF, 0xFB, kbps_index << 4, 0x00]) \
+        + b"\x00" * (audio_kb * 1000 - 4)
+    want = (audio_kb * 1000) * 8 / (_MP3_KBPS_V1[kbps_index] * 1000.0)
+    assert mp3_duration_estimate(tag + audio) == want
