@@ -6,9 +6,10 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via DuckDB
 (row-count + schema + order-insensitive value-hash). Rows-only entries
 (crawl_mini, minhash_lsh, simhash_pairs, lsh_knn, frame_sample) are
 genuinely non-SQL-expressible (engine hashing / the full wave loop /
-mapInPandas plumbing); each has an oracle-checked sibling covering its
+generic-input paths); each has an oracle-checked sibling covering its
 substance (byte-identity pytest for the wave loop; minhash_verified /
-simhash_verified / lsh_knn_verified / ivf_knn_verified / multimodal_meta).
+simhash_verified / lsh_knn_verified / ivf_knn_verified / multimodal_meta /
+frame_sample_verified).
 """
 
 from __future__ import annotations

@@ -999,10 +999,41 @@ FROM documents
 
 def q_frame_sample(spark, sf_dir):
     """Video/audio frame-sampling plumbing (sequence+explode over decoded
-    duration; rows-only — duration itself is the documented stub)."""
+    duration; rows-only generic path — see frame_sample_verified for the
+    oracle-checked version over the WAV fixture)."""
     from .operators.multimodal import frame_sample_plan
 
     return frame_sample_plan(_media_fixture(spark, sf_dir), every_s=0.005)
+
+
+def q_frame_sample_verified(spark, sf_dir):
+    """Frame sampling, ORACLE-CHECKED end to end (possible since WAV
+    duration became real decode): the fixture's WAV rows carry an exactly
+    SQL-constructible duration, so DuckDB reconstructs the whole
+    sequence+explode via generate_series — every frame index and offset
+    for every media row, through sniff -> RIFF chunk walk -> duration ->
+    sequence -> explode."""
+    from .operators.multimodal import frame_sample_plan
+
+    frames = frame_sample_plan(_media_fixture(spark, sf_dir),
+                               every_s=0.005)
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round("t_offset_s", 6).alias("t_offset_s"))
+
+
+SQL_FRAME_SAMPLE_VERIFIED = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest(generate_series(0, CAST(floor(
+             ((doc_id % 2000 + 100) / (doc_id % 8 * 1000 + 8000.0))
+             / 0.005::DOUBLE) AS BIGINT))) AS i
+  FROM documents WHERE doc_id % 4 = 3
+)
+SELECT media_id, i::INTEGER AS frame_idx,
+       round(i * 0.005::DOUBLE, 6) AS t_offset_s
+FROM f
+"""
 
 
 # =============================================================================
@@ -1047,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "media_resize": q_media_resize,
+        "frame_sample_verified": q_frame_sample_verified,
         "session_windows": q_session_windows,
         # rows-only below
         "crawl_mini": q_crawl_mini,
@@ -1095,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,
         "media_resize": SQL_MEDIA_RESIZE,
+        "frame_sample_verified": SQL_FRAME_SAMPLE_VERIFIED,
         "session_windows": SQL_SESSION_WINDOWS,
     }
 
