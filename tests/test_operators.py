@@ -250,6 +250,100 @@ def test_wav_and_mp3_duration_real_parsers():
     assert mp3_duration_estimate(b"") is None
 
 
+def test_mp3_rejects_reserved_header_fields():
+    """A 0xFF/0xEx sync alone is 11 bits — corrupt bytes fake it easily.
+    The parser must skip pseudo-syncs whose reserved fields are invalid
+    (version 01, layer 00, sample-rate index 3) instead of emitting a
+    confident bogus duration (round-4 ADVICE)."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        mp3_duration_estimate)
+
+    # version bits 01 (reserved): 0xFF 0xEB = sync + version01/layerIII
+    assert mp3_duration_estimate(
+        bytes([0xFF, 0xEB, 0x90, 0x00]) + b"\x00" * 100) is None
+    # layer bits 00 (reserved): 0xFF 0xF9 = MPEG1 + layer-reserved
+    assert mp3_duration_estimate(
+        bytes([0xFF, 0xF9, 0x90, 0x00]) + b"\x00" * 100) is None
+    # sample-rate index 3 (reserved): byte2 low nibble 0x0C
+    assert mp3_duration_estimate(
+        bytes([0xFF, 0xFB, 0x9C, 0x00]) + b"\x00" * 100) is None
+    # a later VALID frame must still be found behind a pseudo-sync
+    junk = bytes([0xFF, 0xEB, 0x90, 0x00])  # reserved-version pseudo-sync
+    valid = bytes([0xFF, 0xFB, 0x90, 0x00])
+    d = mp3_duration_estimate(junk + valid + b"\x00" * (16000 - 8))
+    assert d is not None and abs(d - (16000 - 4) * 8 / 128000.0) < 1e-9
+
+
+def _mp4(timescale, duration, version=0, largesize=False):
+    """A canonical ISO-BMFF shell: ftyp, then moov wrapping a full-size
+    mvhd (version 0 or 1; optional 64-bit largesize moov header) — the
+    exact box layout every real muxer emits."""
+    if version == 0:
+        body = (bytes(1) + bytes(3) + bytes(8)
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big"))
+        body += bytes(108 - 8 - len(body))
+        mvhd = (108).to_bytes(4, "big") + b"mvhd" + body
+    else:
+        body = (bytes([1]) + bytes(3) + bytes(16)
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big"))
+        body += bytes(120 - 8 - len(body))
+        mvhd = (120).to_bytes(4, "big") + b"mvhd" + body
+    if largesize:
+        moov = ((1).to_bytes(4, "big") + b"moov"
+                + (16 + len(mvhd)).to_bytes(8, "big") + mvhd)
+    else:
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+    return ftyp + moov
+
+
+def test_mp4_duration_real_parser():
+    from transmogrify_webcrawler_spark.oracle.extract import sniff_mimetype
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        mp4_duration)
+
+    assert mp4_duration(_mp4(1000, 2500)) == 2.5
+    assert mp4_duration(_mp4(90000, 90000 * 7)) == 7.0
+    # version-1 mvhd: 64-bit timestamps shift timescale/duration offsets
+    assert mp4_duration(_mp4(600, 900, version=1)) == 1.5
+    # 64-bit largesize moov header: the walk must re-read the size field
+    assert mp4_duration(_mp4(48000, 24000, largesize=True)) == 0.5
+    # interposed sibling box before moov (free) — the walk skips it
+    free = (16).to_bytes(4, "big") + b"free" + bytes(8)
+    shifted = _mp4(1000, 3000)
+    assert mp4_duration(shifted[:16] + free + shifted[16:]) == 3.0
+    # degenerate payloads: None, never a crash
+    assert mp4_duration(b"") is None
+    assert mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") is None
+    assert mp4_duration(_mp4(0, 500)) is None          # zero timescale
+    assert mp4_duration(_mp4(1000, 500)[:30]) is None  # truncated moov
+    assert mp4_duration(bytes(32)) is None             # no ftyp
+    # the sniffer recognizes the offset-4 ftyp magic
+    assert sniff_mimetype(_mp4(1000, 2500), "") == "video/mp4"
+
+
+def test_frame_sample_reuses_precomputed_meta(spark):
+    """frame_sample_plan(meta=...) must not re-run the decode: the result
+    over a precomputed (media_id, duration_s) frame equals the
+    decode-from-payload path row for row."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        extract_media_meta, frame_sample_plan)
+
+    rows = [(i, _mp4(1000, 1000 * (i + 1))) for i in range(5)]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    meta = extract_media_meta(media)
+    via_meta = frame_sample_plan(None, every_s=0.25, meta=meta)
+    via_payload = frame_sample_plan(media, every_s=0.25)
+    a = sorted(map(tuple, via_meta.collect()))
+    b = sorted(map(tuple, via_payload.collect()))
+    assert a == b and len(a) == sum(4 * (i + 1) + 1 for i in range(5))
+    # a skinny meta frame (no payload column at all) suffices
+    skinny = spark.createDataFrame([(7, 1.0)], ["media_id", "duration_s"])
+    got = sorted(map(tuple, frame_sample_plan(
+        None, every_s=0.5, meta=skinny).collect()))
+    assert got == [(7, 0, 0.0), (7, 1, 0.5), (7, 2, 1.0)]
+
+
 def test_resize_round_trip_through_dimension_parser(spark):
     """resize(p, w, h) -> image_dimensions must decode exactly (w, h) for
     every image container; non-images pass through byte-identical."""

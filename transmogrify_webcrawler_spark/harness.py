@@ -745,7 +745,8 @@ def q_lsh_knn_verified(spark, sf_dir):
     q = base.select(
         (F.col("vec_id") + 1000000).alias("q_id"),
         F.transform("embedding", lambda x: x * 2).alias("q_vec"))
-    return lsh_knn(base, q, k=1, n_planes=8, bands=4, dim=64)
+    return lsh_knn(base, q, k=1, n_planes=8, bands=4, dim=64,
+                   n_queries=500)
 
 
 SQL_LSH_KNN_VERIFIED = """
@@ -775,7 +776,8 @@ def q_ivf_knn_verified(spark, sf_dir):
     q = base.select(
         (F.col("vec_id") + 1000000).alias("q_id"),
         F.transform("embedding", lambda x: x * 2).alias("q_vec"))
-    return ivf_knn(base, q, k=1, n_centroids=16, nprobe=2, dim=64)
+    return ivf_knn(base, q, k=1, n_centroids=16, nprobe=2, dim=64,
+                   n_queries=500)
 
 
 SQL_IVF_KNN_VERIFIED = """
@@ -843,7 +845,7 @@ def q_lsh_knn(spark, sf_dir):
          .alias("embedding"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_knn(emb, q, k=5, n_planes=8, dim=64)
+    return lsh_knn(emb, q, k=5, n_planes=8, dim=64, n_queries=10)
 
 
 def q_session_windows(spark, sf_dir):
@@ -898,11 +900,31 @@ def _le(col, nbytes: int):
         for i in range(nbytes)])
 
 
+# Constant mvhd (version 0) bytes AFTER the duration field: rate 1.0,
+# volume 1.0, 10 reserved bytes, the unity display matrix, 24 pre_defined
+# zero bytes, next_track_ID 1 — exactly what real muxers emit (80 bytes,
+# making the full mvhd body its canonical 100 bytes / box size 108).
+_MVHD_TAIL = (
+    (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+    + bytes(10)
+    + b"".join(v.to_bytes(4, "big") for v in
+               (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+    + bytes(24) + (1).to_bytes(4, "big"))
+
+# 16-byte ftyp box, then moov(116) wrapping mvhd(108): version/flags +
+# creation + modification zeroed (12 bytes) precede the variable
+# timescale/duration the fixture splices in per row.
+_MP4_PREFIX = ((16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+               + (116).to_bytes(4, "big") + b"moov"
+               + (108).to_bytes(4, "big") + b"mvhd" + bytes(12))
+
+
 def _media_fixture(spark, sf_dir):
     """Synthesized media table over documents with REAL container headers —
-    PNG IHDR / GIF screen descriptor / JPEG SOF0 frames and canonical
-    44-byte WAV (RIFF fmt+data) files built byte-exact from doc_id, so the
-    decoded dimensions AND the WAV duration are SQL-constructible."""
+    PNG IHDR / GIF screen descriptor / JPEG SOF0 frames, canonical 44-byte
+    WAV (RIFF fmt+data) files, and full ISO-BMFF ftyp+moov/mvhd MP4 shells
+    built byte-exact from doc_id, so the decoded dimensions AND the
+    WAV/MP4 durations are SQL-constructible."""
     d = _read(spark, sf_dir, "documents")
     did = F.col("doc_id")
     png = F.concat(
@@ -931,21 +953,30 @@ def _media_fixture(spark, sf_dir):
         F.lit((1).to_bytes(2, "little") + (8).to_bytes(2, "little")),
         F.lit(b"data"), _le(dsz, 4),
         F.repeat(F.lit("x"), dsz.cast("int")).cast("binary"))
+    # MP4: duration_s = mvhd duration units / timescale (big-endian u32s at
+    # fixed offsets in the version-0 box) — exact arithmetic both engines
+    ts = did % 7 * 1000 + 1000         # timescale: 1000..7000
+    du = did % 4000 + 1000             # duration units: 1000..4999
+    mp4 = F.concat(F.lit(_MP4_PREFIX), _be(ts, 8), _be(du, 8),
+                   F.lit(_MVHD_TAIL))
     return d.select(
         did.alias("media_id"),
-        F.when(did % 4 == 0, png).when(did % 4 == 1, gif)
-        .when(did % 4 == 2, jpg).otherwise(wav).alias("payload"))
+        F.when(did % 5 == 0, png).when(did % 5 == 1, gif)
+        .when(did % 5 == 2, jpg).when(did % 5 == 3, wav)
+        .otherwise(mp4).alias("payload"))
 
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal metadata, ORACLE-CHECKED: payloads carry real PNG/GIF/JPEG
     and WAV container bytes built from doc_id; the mapInPandas kernel
     parses the actual bytes (operators.multimodal.image_dimensions /
-    wav_duration — the RIFF fmt/data chunk walk), and the oracle SQL
-    reconstructs every expected value arithmetically — a wrong byte offset
-    anywhere in the parser or the fixture fails the hash compare. WAV
-    duration is REAL decode (data_size/byte_rate); the remaining stub
-    surface is video-container duration + the feature vector."""
+    wav_duration — the RIFF fmt/data chunk walk — and mp4_duration — the
+    ISO-BMFF box walk to moov/mvhd), and the oracle SQL reconstructs every
+    expected value arithmetically — a wrong byte offset anywhere in the
+    parser or the fixture fails the hash compare. WAV duration is REAL
+    decode (data_size/byte_rate), MP4 duration is REAL decode
+    (mvhd duration/timescale); the remaining stub surface is non-MP4
+    video-container duration + the feature vector."""
     from .operators.multimodal import extract_media_meta
 
     return extract_media_meta(_media_fixture(spark, sf_dir)).select(
@@ -955,19 +986,24 @@ def q_multimodal_meta(spark, sf_dir):
 
 SQL_MULTIMODAL = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-            WHEN 2 THEN 'image/jpeg' ELSE 'audio/wav' END AS mimetype,
-       (CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
-             ELSE 44 + doc_id % 2000 + 100 END)::BIGINT AS n_bytes,
-       (CASE doc_id % 4 WHEN 0 THEN doc_id % 200 + 1
+       CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mimetype,
+       (CASE doc_id % 5 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
+             WHEN 3 THEN 44 + doc_id % 2000 + 100
+             ELSE 132 END)::BIGINT AS n_bytes,
+       (CASE doc_id % 5 WHEN 0 THEN doc_id % 200 + 1
              WHEN 1 THEN doc_id % 300 + 1
              WHEN 2 THEN doc_id % 500 + 1 END)::INTEGER AS width,
-       (CASE doc_id % 4 WHEN 0 THEN doc_id % 100 + 1
+       (CASE doc_id % 5 WHEN 0 THEN doc_id % 100 + 1
              WHEN 1 THEN doc_id % 150 + 1
              WHEN 2 THEN doc_id % 400 + 1 END)::INTEGER AS height,
-       CASE WHEN doc_id % 4 = 3
-            THEN round((doc_id % 2000 + 100)
-                       / (doc_id % 8 * 1000 + 8000.0), 6) END AS duration_s
+       CASE doc_id % 5
+            WHEN 3 THEN round((doc_id % 2000 + 100)
+                              / (doc_id % 8 * 1000 + 8000.0), 6)
+            WHEN 4 THEN round((doc_id % 4000 + 1000)
+                              / (doc_id % 7 * 1000 + 1000.0), 6)
+       END AS duration_s
 FROM documents
 """
 
@@ -976,8 +1012,8 @@ def q_media_resize(spark, sf_dir):
     """Multimodal resize plumbing, ORACLE-CHECKED: image payloads (PNG/GIF/
     JPEG fixture rows) come out flagged resized with the target dims and
     an UNCHANGED byte length (the header rewrite is length-preserving —
-    a wrong offset would change n_bytes or break the flag); WAV rows pass
-    through untouched. The decoded-dimensions round-trip
+    a wrong offset would change n_bytes or break the flag); WAV and MP4
+    rows pass through untouched. The decoded-dimensions round-trip
     (image_dimensions(resize(p)) == target) is pytest-asserted."""
     from .operators.multimodal import resize_media
 
@@ -988,11 +1024,12 @@ def q_media_resize(spark, sf_dir):
 
 SQL_MEDIA_RESIZE = """
 SELECT doc_id AS media_id,
-       (CASE WHEN doc_id % 4 < 3 THEN 64 END)::INTEGER AS width,
-       (CASE WHEN doc_id % 4 < 3 THEN 48 END)::INTEGER AS height,
-       doc_id % 4 < 3 AS resized,
-       (CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
-             ELSE 44 + doc_id % 2000 + 100 END)::BIGINT AS n_bytes
+       (CASE WHEN doc_id % 5 < 3 THEN 64 END)::INTEGER AS width,
+       (CASE WHEN doc_id % 5 < 3 THEN 48 END)::INTEGER AS height,
+       doc_id % 5 < 3 AS resized,
+       (CASE doc_id % 5 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 23
+             WHEN 3 THEN 44 + doc_id % 2000 + 100
+             ELSE 132 END)::BIGINT AS n_bytes
 FROM documents
 """
 
@@ -1007,12 +1044,12 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_frame_sample_verified(spark, sf_dir):
-    """Frame sampling, ORACLE-CHECKED end to end (possible since WAV
-    duration became real decode): the fixture's WAV rows carry an exactly
-    SQL-constructible duration, so DuckDB reconstructs the whole
+    """Frame sampling, ORACLE-CHECKED end to end (possible since WAV and
+    MP4 duration became real decode): the fixture's WAV and MP4 rows carry
+    exactly SQL-constructible durations, so DuckDB reconstructs the whole
     sequence+explode via generate_series — every frame index and offset
-    for every media row, through sniff -> RIFF chunk walk -> duration ->
-    sequence -> explode."""
+    for every media row, through sniff -> RIFF chunk walk / ISO-BMFF box
+    walk -> duration -> sequence -> explode."""
     from .operators.multimodal import frame_sample_plan
 
     frames = frame_sample_plan(_media_fixture(spark, sf_dir),
@@ -1023,12 +1060,20 @@ def q_frame_sample_verified(spark, sf_dir):
 
 
 SQL_FRAME_SAMPLE_VERIFIED = """
-WITH f AS (
+WITH d AS (
   SELECT doc_id AS media_id,
-         unnest(generate_series(0, CAST(floor(
-             ((doc_id % 2000 + 100) / (doc_id % 8 * 1000 + 8000.0))
-             / 0.005::DOUBLE) AS BIGINT))) AS i
-  FROM documents WHERE doc_id % 4 = 3
+         CASE doc_id % 5
+              WHEN 3 THEN (doc_id % 2000 + 100)
+                          / (doc_id % 8 * 1000 + 8000.0)
+              WHEN 4 THEN (doc_id % 4000 + 1000)
+                          / (doc_id % 7 * 1000 + 1000.0)
+         END AS dur
+  FROM documents WHERE doc_id % 5 IN (3, 4)
+), f AS (
+  SELECT media_id,
+         unnest(generate_series(0,
+             CAST(floor(dur / 0.005::DOUBLE) AS BIGINT))) AS i
+  FROM d
 )
 SELECT media_id, i::INTEGER AS frame_idx,
        round(i * 0.005::DOUBLE, 6) AS t_offset_s

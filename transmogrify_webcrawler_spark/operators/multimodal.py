@@ -1,14 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns with
 typed metadata (the brief's multimodal requirement).
 
-IMAGE DIMENSIONS, WAV DURATION, AND MP3 DURATION ESTIMATES ARE REAL: PNG
-IHDR, JPEG SOF marker walk, GIF logical screen descriptor, the RIFF/WAVE
-fmt+data chunk walk, and the MPEG audio frame header are parsed straight
-from the payload bytes (these containers put the needed fields at fixed
-header positions — no media library needed, none is installed in this
-container). Still stubbed, clearly marked: other audio/video container
-duration (MP4 et al. need a real demuxer) and the 8-byte `feature`
-(stands in for an embedding model). Every Spark-side piece is real and
+IMAGE DIMENSIONS AND WAV/MP3/MP4 DURATIONS ARE REAL: PNG IHDR, JPEG SOF
+marker walk, GIF logical screen descriptor, the RIFF/WAVE fmt+data chunk
+walk, the MPEG audio frame header, and the ISO-BMFF box walk to moov/mvhd
+are parsed straight from the payload bytes (these containers put the
+needed fields at fixed header positions — no media library needed, none
+is installed in this container). Still stubbed, clearly marked: other
+audio/video container duration (MKV/WebM/OGG need a real demuxer) and the
+8-byte `feature` (stands in for an embedding model). Every Spark-side piece is real and
 tested: the schema contract, the mapInPandas iterator shape, Arrow batch
 sizing for fat binary columns, and the partitioning story (repartition on a
 content-hash so giant media files spread evenly).
@@ -129,7 +129,14 @@ def mp3_duration_estimate(payload: bytes) -> float | None:
             version = (b[i + 1] >> 3) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
             layer = (b[i + 1] >> 1) & 0x03     # 1 = Layer III
             br_idx = (b[i + 2] >> 4) & 0x0F
-            if layer == 1 and br_idx not in (0, 15):
+            sr_idx = (b[i + 2] >> 2) & 0x03
+            # a sync pattern alone is 11 bits — random/corrupt bytes fake it
+            # often. Demand the RESERVED fields be non-reserved too before
+            # trusting the header: version 01 and layer 00 are reserved,
+            # sample-rate index 3 is invalid. (Layer III only — the bitrate
+            # tables below are Layer III's.)
+            if (version != 1 and layer == 1 and sr_idx != 3
+                    and br_idx not in (0, 15)):
                 kbps = (_MP3_KBPS_V1 if version == 3
                         else _MP3_KBPS_V2)[br_idx]
                 if kbps:
@@ -138,10 +145,65 @@ def mp3_duration_estimate(payload: bytes) -> float | None:
     return None
 
 
+def mp4_duration(payload: bytes) -> float | None:
+    """REAL MP4/ISO-BMFF duration, zero dependencies: walk the top-level
+    box sequence to `moov`, walk its children to `mvhd`, read the
+    version-dependent fixed-offset fields — version 0 packs
+    (timescale u32, duration u32) at body offsets 12/16, version 1 packs
+    (timescale u32, duration u64) at 20/24 (after 64-bit timestamps).
+    duration/timescale IS the movie duration in seconds (what ffprobe
+    reports). Handles 64-bit largesize boxes; returns None when no
+    readable mvhd exists (truncated/streaming-fragmented files)."""
+    def walk(lo: int, hi: int, target: bytes) -> tuple[int, int] | None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i:i + 4], "big")
+            btype = payload[i + 4:i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(payload[i + 8:i + 16], "big")
+                body = i + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return None
+            if btype == target:
+                return (body, i + size)
+            i += size
+        return None
+
+    b = payload
+    # ftyp-first is how every real muxer writes ISO-BMFF; requiring it here
+    # doubles as the cheap "actually an MP4" sniff
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = walk(0, len(b), b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    lo, hi = mvhd
+    version = b[lo] if lo < hi else None
+    if version == 0 and lo + 20 <= hi:
+        timescale = int.from_bytes(b[lo + 12:lo + 16], "big")
+        duration = int.from_bytes(b[lo + 16:lo + 20], "big")
+    elif version == 1 and lo + 32 <= hi:
+        timescale = int.from_bytes(b[lo + 20:lo + 24], "big")
+        duration = int.from_bytes(b[lo + 24:lo + 32], "big")
+    else:
+        return None
+    if timescale == 0:
+        return None
+    return duration / timescale
+
+
 def _decode(payload: bytes, mimetype: str) -> dict:
-    """Image dimensions, WAV duration, and MP3 duration estimates are parsed
-    for REAL from the raw bytes (image_dimensions / wav_duration /
-    mp3_duration_estimate above). STUBS, clearly marked: other audio/video
+    """Image dimensions and WAV/MP3/MP4 durations are parsed for REAL from
+    the raw bytes (image_dimensions / wav_duration / mp3_duration_estimate
+    / mp4_duration above). STUBS, clearly marked: other audio/video
     container duration (a real deployment plugs an ffprobe-style demuxer
     here — None keeps the gap visible) and the 8-byte feature (stands in
     for an embedding model's output; capped byte-sum — the first 4 KiB is
@@ -161,6 +223,9 @@ def _decode(payload: bytes, mimetype: str) -> dict:
         return dict(width=None, height=None,
                     duration_s=mp3_duration_estimate(payload),
                     feature=feature)
+    if mimetype == "video/mp4":
+        return dict(width=None, height=None,
+                    duration_s=mp4_duration(payload), feature=feature)
     if mimetype.startswith(("audio/", "video/")):
         return dict(width=None, height=None,
                     duration_s=None,  # STUB: needs a real demuxer
@@ -265,12 +330,21 @@ def resize_media(media: DataFrame, width: int, height: int,
     return spread.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_s: float = 1.0,
-                      id_col: str = "media_id") -> DataFrame:
+def frame_sample_plan(media: DataFrame | None, every_s: float = 1.0,
+                      id_col: str = "media_id",
+                      meta: DataFrame | None = None) -> DataFrame:
     """Video frame-sampling plumbing: expands each media row into the frame
     timestamps a decoder would extract (sequence + explode, Catalyst-only;
-    the pixel decode itself is the stub above)."""
-    meta = extract_media_meta(media, id_col=id_col)
+    the pixel decode itself is the stub above).
+
+    Pass `meta` (a prior `extract_media_meta` result, or any frame with
+    media_id + duration_s) to reuse an existing decode: sampling only
+    needs durations, so re-running the full per-payload decode — feature
+    byte-sum included — per call is pure waste when the metadata table
+    already exists, which at scale it always does (it is the thing you
+    persist)."""
+    if meta is None:
+        meta = extract_media_meta(media, id_col=id_col)
     vids = meta.filter(F.col("duration_s").isNotNull())
     return vids.select(
         "media_id",

@@ -191,7 +191,13 @@ def _ivf_assign_udf(centroids, nprobe: int):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype("float64")
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        # exact normalization (zero-norm rows guarded explicitly, NOT via a
+        # +eps fudge): a scaled twin 2v must normalize BIT-IDENTICALLY to v
+        # for the ivf_knn_verified oracle's same-bucket-with-probability-1
+        # claim to hold — 2n+eps != 2(n+eps), so the eps form breaks exact
+        # power-of-two scale invariance
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norm == 0.0, 1.0, norm)
         sims = mat @ centroids.T
         if nprobe == 1:
             top = sims.argmax(axis=1)[:, None]
@@ -208,7 +214,8 @@ def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
             dim: int | None = None, centroids=None,
             id_col: str = "vec_id", vec_col: str = "embedding",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-            q_broadcast_rows: int = 4_000_000) -> DataFrame:
+            q_broadcast_rows: int = 4_000_000,
+            n_queries: int | None = None) -> DataFrame:
     """ANN via an inverted-file index (IVF): corpus vectors live in the
     bucket of their nearest (by cosine) centroid; a query searches only
     its `nprobe` nearest buckets; exact cosine re-ranks the union. Recall
@@ -237,7 +244,10 @@ def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.explode(query_assign(F.col(q_vec_col))).alias("bucket"))
     q_dim = queries.select(F.col(q_id_col).alias("q_id"),
                            F.col(q_vec_col).alias("q_vec"))
-    if queries.count() <= q_broadcast_rows:
+    # callers that know the query cardinality pass n_queries and skip the
+    # eager count job; the count runs only when unspecified
+    if (n_queries if n_queries is not None
+            else queries.count()) <= q_broadcast_rows:
         q_b, q_dim = F.broadcast(q_b), F.broadcast(q_dim)
     cand = (
         e_b.join(q_b, "bucket")
@@ -256,7 +266,8 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = 16, bands: int = 4, dim: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-            q_broadcast_rows: int = 4_000_000) -> DataFrame:
+            q_broadcast_rows: int = 4_000_000,
+            n_queries: int | None = None) -> DataFrame:
     """ANN: BANDED sign-random-projection — `bands` independent hash tables
     of `n_planes` sign bits each (total bands*n_planes hyperplanes), a
     candidate meets a query if they agree on ANY whole band, exact cosine
@@ -285,7 +296,10 @@ def lsh_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.posexplode(sig_udf(F.col(q_vec_col))).alias("band_id", "band_val"))
     q_dim = queries.select(F.col(q_id_col).alias("q_id"),
                            F.col(q_vec_col).alias("q_vec"))
-    if queries.count() <= q_broadcast_rows:
+    # callers that know the query cardinality pass n_queries and skip the
+    # eager count job; the count runs only when unspecified
+    if (n_queries if n_queries is not None
+            else queries.count()) <= q_broadcast_rows:
         q_b, q_dim = F.broadcast(q_b), F.broadcast(q_dim)
     cand = (
         e_b.join(q_b, ["band_id", "band_val"])

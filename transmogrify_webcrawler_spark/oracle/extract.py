@@ -192,6 +192,10 @@ def sniff_mimetype(html: bytes, url: str) -> str:
     for magic, mt in _MAGIC:
         if head.startswith(magic):
             return mt
+    # ISO-BMFF (MP4 family): the magic is 'ftyp' at offset 4 (bytes 0-3 are
+    # the ftyp box size), so it can't live in the prefix table above
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        return "video/mp4"
     path = (url or "").split("?", 1)[0].split("#", 1)[0]
     dot = path.rfind(".")
     slash = path.rfind("/")

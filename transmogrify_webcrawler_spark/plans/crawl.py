@@ -276,6 +276,7 @@ class SparkCrawler:
         self.timings: list[dict] = []  # per-wave step wall times (lineage)
         self.write_timings: list[dict] = []  # per-table commit write times
         self._winners: DataFrame | None = None  # pinned dedup dim (skinny)
+        self._ckpt_dirs: list = []  # (wave, dir) rotations we created
         ship_package(spark)  # executors need the oracle inside the UDFs
         # crawler tuning must not bleed into whatever the session runs next
         # (bench.py times harness queries on the same session): remember the
@@ -748,6 +749,10 @@ class SparkCrawler:
         budget = min(cfg.wave_size, cfg.max_pages - crawled_count)
         if budget <= 0:
             return 0
+        # range_topk checkpoints into the active dir when one is set; give
+        # this wave its own subdir and reap earlier waves' (commit below is
+        # synchronous, so wave-1's files are unreferenced once it returns)
+        self._rotate_ckpt_dir(wave)
         t_build = time.time()
         frontier = self.store.read(spark, "frontier",
                                    FRONTIER_SCHEMA).persist()
@@ -764,6 +769,7 @@ class SparkCrawler:
         counts = manifest["counts"]
         self._unpersist_wave(w)
         frontier.unpersist()
+        self._reap_ckpt_dirs(before_wave=wave)
         # every selected row lands in exactly one of crawled/errors
         return counts["crawled"] + counts["errors"]
 
@@ -783,6 +789,47 @@ class SparkCrawler:
         if sc._jsc.sc().getCheckpointDir().isDefined():
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    def _rotate_ckpt_dir(self, wave: int) -> None:
+        """Reliable checkpoint files are NEVER removed by Spark itself
+        (only `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+        default, ties them to GC; `unpersist()` on a checkpointed frame is
+        a no-op) — so a long crawl that checkpoints per wave grows the
+        checkpoint dir without bound. Bound it by rotation: each
+        `setCheckpointDir(base)` call creates a fresh `base/<UUID>` subdir,
+        so giving every wave its own subdir makes cleanup a recursive
+        delete of whole retired subdirs, no per-RDD file tracking. Dirs are
+        reaped with the same 2-wave lag as the persisted handles: wave k's
+        checkpoints are last READ by wave k+1's background commit (whose
+        input frontier lives in dir k), which has joined by the time wave
+        k+2 reaps. No-op when no checkpoint dir is configured
+        (localCheckpoint path)."""
+        sc = self.spark.sparkContext
+        opt = sc._jsc.sc().getCheckpointDir()
+        if not opt.isDefined():
+            return
+        base = (sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+                .getParent().toString())
+        sc.setCheckpointDir(base)
+        self._ckpt_dirs.append((wave, sc._jsc.sc().getCheckpointDir().get()))
+
+    def _reap_ckpt_dirs(self, before_wave: int | None = None) -> None:
+        """Delete rotated checkpoint subdirs for waves < before_wave
+        (None = every rotation we created). The session's ACTIVE dir is
+        always kept so later user checkpoints on the same session still
+        have a home. Hadoop FileSystem delete, so object-store checkpoint
+        dirs reap the same way as file:/."""
+        sc = self.spark.sparkContext
+        opt = sc._jsc.sc().getCheckpointDir()
+        active = opt.get() if opt.isDefined() else None
+        keep = []
+        for wv, d in self._ckpt_dirs:
+            if (before_wave is not None and wv >= before_wave) or d == active:
+                keep.append((wv, d))
+                continue
+            p = sc._jvm.org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+        self._ckpt_dirs = keep
 
     @staticmethod
     def _unpersist_wave(w: dict) -> None:
@@ -898,6 +945,7 @@ class SparkCrawler:
                                  cfg.max_pages - crawled_count)
                     if budget <= 0:
                         break
+                    self._rotate_ckpt_dir(wave)
                     t0 = time.time()
                     w = self.build_wave(wave, frontier, seen, shards,
                                         pages_prepared, robots,
@@ -932,6 +980,9 @@ class SparkCrawler:
                                 f"{pm['crawled_count']} != in-memory "
                                 f"{crawled_count}")
                         _drop_retired()
+                        # commit pw just joined: dirs < pw are unreadable
+                        # by any live or in-flight frame — reap them
+                        self._reap_ckpt_dirs(before_wave=pw)
                         retired = (pwh, pfrontier)
                         # re-anchor both chains to the just-published
                         # snapshot (BEFORE submitting the next commit, so
@@ -1010,6 +1061,10 @@ class SparkCrawler:
             # knobs, parquet block size) must not outlive the crawl: the
             # same session may run unrelated queries next (bench.py does)
             self.restore_session_confs()
+            # checkpoints are never needed after the crawl (resume anchors
+            # on the store, finalize reads the store): reap every rotated
+            # dir, keeping only the session's active one
+            self._reap_ckpt_dirs()
 
     def _run(self, pages: DataFrame, seeds: list[str]) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
