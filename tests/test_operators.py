@@ -402,3 +402,107 @@ def test_multimodal_meta_real_decode_plumbing(spark):
     for r in frames:
         per[r["media_id"]] = per.get(r["media_id"], 0) + 1
     assert per == {2: 2, 5: 3}  # floor(dur/every)+1 frame timestamps
+
+
+def test_png_codec_round_trip_and_filters():
+    """decode(encode(rows)) is the identity; the unfilter path handles all
+    five PNG filter types (hand-filtered scanlines re-inflate to the same
+    pixels an unfiltered encode carries); chunk CRCs are genuine."""
+    import struct
+    import zlib
+
+    from transmogrify_webcrawler_spark.operators.png import (
+        decode_png, encode_png)
+
+    # round trip, gray + RGB + RGBA
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        rows = [bytearray((x * 31 + y * 7 + c) % 256
+                          for x in range(5) for c in range(ch))
+                for y in range(4)]
+        w2, h2, c2, rows2 = decode_png(encode_png(5, 4, color, rows))
+        assert (w2, h2, c2) == (5, 4, color)
+        assert rows2 == rows
+
+    # every chunk CRC in our output is genuine
+    out = encode_png(3, 2, 0, [bytearray(b"abc"), bytearray(b"xyz")])
+    i = 8
+    while i < len(out):
+        clen = int.from_bytes(out[i:i + 4], "big")
+        blob = out[i + 4:i + 8 + clen]
+        crc = int.from_bytes(out[i + 8 + clen:i + 12 + clen], "big")
+        assert crc == zlib.crc32(blob)
+        i += 12 + clen
+
+    # filters 1-4: build a filtered stream by hand, expect exact pixels
+    pix = [bytearray([10, 20, 30, 40]), bytearray([15, 25, 35, 45]),
+           bytearray([100, 101, 102, 103])]
+
+    def filt(ftype, line, prev, ch=1):
+        o = bytearray([ftype])
+        for x, v in enumerate(line):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                o.append(v)
+            elif ftype == 1:
+                o.append((v - a) & 0xFF)
+            elif ftype == 2:
+                o.append((v - b) & 0xFF)
+            elif ftype == 3:
+                o.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                o.append((v - pred) & 0xFF)
+        return o
+
+    for f1, f2, f3 in ((1, 2, 3), (4, 1, 2), (3, 4, 0)):
+        raw = (filt(f1, pix[0], bytearray(4)) + filt(f2, pix[1], pix[0])
+               + filt(f3, pix[2], pix[1]))
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n"
+               + struct.pack(">I", 13) + b"IHDR" + ihdr
+               + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+        idat = zlib.compress(bytes(raw))
+        png += (struct.pack(">I", len(idat)) + b"IDAT" + idat
+                + struct.pack(">I", zlib.crc32(b"IDAT" + idat)))
+        png += struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND"))
+        assert decode_png(png)[3] == pix, (f1, f2, f3)
+
+
+def test_png_resize_pixel_true():
+    """Nearest-neighbor resample: out[y][x] == src[y*sh//oh][x*sw//ow],
+    asserted pixel byte for pixel byte, upscale and downscale, and the
+    output re-decodes (genuine CRCs, spec-correct chunks). Header-only
+    fixture PNGs (no IDAT) still fall back to the header rewrite."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        image_dimensions, resize_image_bytes)
+    from transmogrify_webcrawler_spark.operators.png import (
+        decode_png, encode_png, resize_png)
+
+    src_rows = [bytearray((x * 7 + y * 13) % 256 for x in range(10))
+                for y in range(6)]
+    payload = encode_png(10, 6, 0, src_rows)
+    for ow, oh in ((20, 9), (4, 3), (10, 6)):
+        out = resize_png(payload, ow, oh)
+        w, h, color, rows = decode_png(out)
+        assert (w, h, color) == (ow, oh, 0)
+        for y in range(oh):
+            for x in range(ow):
+                assert rows[y][x] == src_rows[y * 6 // oh][x * 10 // ow]
+    # RGB: channels move together (no channel interleave bugs)
+    rgb = [bytearray(v for x in range(4) for v in (x * 3, x * 3 + 1, y))
+           for y in range(2)]
+    out = resize_png(encode_png(4, 2, 2, rgb), 2, 1)
+    _, _, _, orows = decode_png(out)
+    assert orows[0] == bytearray([0, 1, 0, 6, 7, 0])
+    # the resize_image_bytes dispatcher uses the pixel path for real PNGs
+    via_dispatch = resize_image_bytes(payload, 4, 3)
+    assert via_dispatch == resize_png(payload, 4, 3)
+    # ...and falls back to the header rewrite for an IDAT-less header shell
+    shell = payload[:33]  # signature + IHDR only
+    fb = resize_image_bytes(shell, 7, 9)
+    assert image_dimensions(fb) == (7, 9) and len(fb) == len(shell)

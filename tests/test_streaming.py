@@ -203,3 +203,74 @@ def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
     # emitted results must be a subset with identical values
     assert set(out) <= batch
     assert len(out) > 0
+
+
+def test_reconciled_bloom_dedup_recovers_false_positives(spark, tmp_path):
+    """The exact-at-scale composite the state module pins: bloom bitmaps in
+    stream state + per-batch exact reconciliation of bloom-positives
+    against the durable seen TABLE. At a deliberately tiny bloom (16 bits,
+    50 keys) false positives are forced — the control arm (plain bloom
+    mode) provably suppresses fresh keys; the reconciled arm must emit
+    EVERY key exactly once, and across a restart duplicates still die
+    while new keys emit once."""
+    from transmogrify_webcrawler_spark.streaming.state import (
+        reconciled_seen_dedup, stateful_seen_dedup)
+
+    schema = "url_canon string, wave int"
+    src = str(tmp_path / "urls")
+    os.makedirs(src)
+    keys = [f"http://k/{i}" for i in range(50)]
+    # TWO files + maxFilesPerTrigger=1 => two micro-batches: the kernel
+    # tests a batch against batch-START bits (vectorized, documented), so
+    # false positives arise across batches — batch 0's 25 keys saturate
+    # the 16-bit filter, batch 1's 25 all test positive
+    spark.createDataFrame([(k, 0) for k in keys[:25]], schema) \
+        .write.parquet(os.path.join(src, "b0.parquet"))
+    spark.createDataFrame([(k, 0) for k in keys[25:]], schema) \
+        .write.parquet(os.path.join(src, "b1.parquet"))
+
+    # control arm: plain bloom at this sizing suppresses fresh keys (the
+    # false-positive trade the reconciliation exists to undo)
+    got = []
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stateful_seen_dedup(stream, n_shards=1, state_mode="bloom",
+                             bloom_bytes=2)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: got.extend(
+             r["url_canon"] for r in b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck_ctl"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(got) < 50, "sizing failed to force a false positive"
+
+    seen_dir = str(tmp_path / "seen")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        s = (spark.readStream.schema(schema)
+             .option("recursiveFileLookup", "true")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        q = reconciled_seen_dedup(s, seen_dir, out, ck, n_shards=1,
+                                  bloom_bytes=2, trigger_once=True)
+        q.awaitTermination(120)
+
+    run()
+    rows = spark.read.parquet(out).collect()
+    # every suppressed key recovered: all 50 emitted, each exactly once
+    assert sorted(r["url_canon"] for r in rows) == sorted(keys)
+
+    # restart on the same checkpoint: refeed all 50 (bloom-positive ->
+    # reconciled against the table -> die) + 5 fresh (ALSO bloom-positive
+    # at this saturation -> recovered) — exactly the fresh emit, once
+    fresh = [f"http://fresh/{i}" for i in range(5)]
+    spark.createDataFrame([(k, 1) for k in keys + fresh], schema) \
+        .write.mode("append").parquet(os.path.join(src, "b2.parquet"))
+    run()
+    rows2 = spark.read.parquet(out).collect()
+    assert sorted(r["url_canon"] for r in rows2) == sorted(keys + fresh)
+    # the durable seen table is the exact set
+    assert (spark.read.parquet(seen_dir).distinct().count()
+            == len(keys) + len(fresh))

@@ -15,6 +15,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1022,6 +1023,61 @@ def q_media_resize(spark, sf_dir):
         F.length("payload").cast("long").alias("n_bytes"))
 
 
+def q_png_pixel_resize(spark, sf_dir):
+    """PIXEL-TRUE PNG resize, ORACLE-CHECKED end to end: real PNGs (IDAT,
+    genuine CRCs) are encoded per doc_id with the deterministic pattern
+    pixel(x,y) = (x*7 + y*13 + doc_id) % 256 at per-doc source dims,
+    resized through the Spark operator (decode -> unfilter ->
+    nearest-neighbor -> re-encode, operators/png.py), then DECODED BACK
+    and summed. The oracle reconstructs the exact pixel sum arithmetically
+    from the pinned nearest-neighbor map src_i = out_i * src // out — a
+    wrong filter byte, CRC, resample index, or channel offset anywhere in
+    the codec changes the sum and fails the hash compare."""
+    from .operators.multimodal import resize_media
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from transmogrify_webcrawler_spark.operators.png import encode_png
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sw, sh = did % 13 + 3, did % 11 + 3
+                rows = [bytearray((x * 7 + y * 13 + did) % 256
+                                  for x in range(sw)) for y in range(sh)]
+                out.append(dict(media_id=did,
+                                payload=encode_png(sw, sh, 0, rows)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(make, "media_id long, payload binary")
+    resized = resize_media(media, 16, 12)
+
+    def check(batches):
+        from transmogrify_webcrawler_spark.operators.png import decode_png
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _color, rows = decode_png(bytes(payload))
+                out.append(dict(doc_id=mid, out_w=w, out_h=h,
+                                pixel_sum=sum(sum(r) for r in rows)))
+            yield pd.DataFrame(out, columns=["doc_id", "out_w", "out_h",
+                                             "pixel_sum"])
+
+    return resized.select("media_id", "payload").mapInPandas(
+        check, "doc_id long, out_w int, out_h int, pixel_sum long")
+
+
+SQL_PNG_PIXEL_RESIZE = """
+SELECT d.doc_id AS doc_id, 16::INTEGER AS out_w, 12::INTEGER AS out_h,
+       sum((((x.range * (d.doc_id % 13 + 3)) // 16) * 7
+            + ((y.range * (d.doc_id % 11 + 3)) // 12) * 13
+            + d.doc_id) % 256)::BIGINT AS pixel_sum
+FROM documents d, range(16) x, range(12) y
+GROUP BY d.doc_id
+"""
+
+
 SQL_MEDIA_RESIZE = """
 SELECT doc_id AS media_id,
        (CASE WHEN doc_id % 5 < 3 THEN 64 END)::INTEGER AS width,
@@ -1123,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "media_resize": q_media_resize,
+        "png_pixel_resize": q_png_pixel_resize,
         "frame_sample_verified": q_frame_sample_verified,
         "session_windows": q_session_windows,
         # rows-only below
@@ -1172,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "multimodal_meta": SQL_MULTIMODAL,
         "media_resize": SQL_MEDIA_RESIZE,
+        "png_pixel_resize": SQL_PNG_PIXEL_RESIZE,
         "frame_sample_verified": SQL_FRAME_SAMPLE_VERIFIED,
         "session_windows": SQL_SESSION_WINDOWS,
     }

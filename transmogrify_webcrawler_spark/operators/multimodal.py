@@ -17,6 +17,7 @@ content-hash so giant media files spread evenly).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from zlib import error as zlib_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -270,17 +271,25 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_image_bytes(payload: bytes, w: int, h: int) -> bytes | None:
-    """Rewrite the container's dimension fields to (w, h) for PNG/GIF/JPEG.
-    STUB KERNEL, clearly marked: a real deployment resamples pixels here
-    (no imaging library exists in this container); the header rewrite
-    keeps the round-trip testable — image_dimensions(resize(p)) == (w, h)
-    — and exercises the exact byte offsets a real encoder would emit.
-    (The PNG IHDR CRC is intentionally left stale — a strict decoder
-    would flag it, which keeps the stub honest.) None for non-images."""
+    """Resize an image payload to (w, h). PNG is PIXEL-TRUE: decode IDAT,
+    unfilter, nearest-neighbor resample, re-encode with genuine chunk CRCs
+    (operators/png.py, stdlib zlib only — this retired the old stale-CRC
+    header-rewrite stub for decodable PNGs). GIF/JPEG remain HEADER
+    REWRITES, clearly marked: LZW and Huffman entropy coders genuinely
+    need a codec library this environment lacks; the rewrite keeps the
+    round-trip testable — image_dimensions(resize(p)) == (w, h) — and
+    exercises the exact byte offsets a real encoder would emit. PNGs
+    outside the codec's pinned scope (palette, 16-bit, interlace, or
+    header-only fixtures with no IDAT) fall back to the same header
+    rewrite. None for non-images."""
     b = payload
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
-        return (b[:16] + w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                + b[24:])
+        try:
+            from .png import resize_png
+            return resize_png(b, w, h)
+        except (ValueError, zlib_error):
+            return (b[:16] + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + b[24:])
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         return (b[:6] + w.to_bytes(2, "little") + h.to_bytes(2, "little")
                 + b[10:])
@@ -307,9 +316,9 @@ def resize_media(media: DataFrame, width: int, height: int,
                  id_col: str = "media_id",
                  payload_col: str = "payload") -> DataFrame:
     """Multimodal resize plumbing: mapInPandas over binary batches, image
-    payloads come out with the target dimensions (header-level stub kernel
-    above — the Spark side, schema, batching and content-hash spreading,
-    is production-shaped), non-images pass through with resized=false."""
+    payloads come out with the target dimensions (pixel-true nearest
+    neighbor for decodable PNGs, header rewrite for GIF/JPEG — see
+    resize_image_bytes), non-images pass through with resized=false."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

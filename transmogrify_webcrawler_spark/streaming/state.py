@@ -47,8 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, BooleanType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from ..operators.dedup import _np_hashes, _set_bits, _test_bits
@@ -64,17 +64,32 @@ BLOOM_STATE_SCHEMA = StructType([
 
 def stateful_seen_dedup(stream: DataFrame, key_col: str = "url_canon",
                         n_shards: int = 32, state_mode: str = "exact",
-                        bloom_bytes: int = 1 << 17) -> DataFrame:
+                        bloom_bytes: int = 1 << 17,
+                        emit_maybe_dups: bool = False) -> DataFrame:
     """First occurrence of each key wins, forever (across micro-batches and
     restarts). Emits the input rows minus duplicates, plus the shard id.
     See the module docstring for the exact-vs-bloom state trade.
 
+    ``emit_maybe_dups`` (bloom mode only): ALSO forward the bloom-POSITIVE
+    suppressed rows, flagged `_maybe_dup=true` (kept rows carry false), one
+    per key per batch. This is the hook the exact-at-scale composite
+    (`reconciled_seen_dedup`) consumes: a bloom-positive is either a true
+    duplicate or a false-positive fresh key, and only an exact check
+    against the durable seen TABLE can tell them apart — the stream op
+    itself cannot (see module docstring), so it hands them downstream
+    instead of silently dropping them.
+
     Works on a streaming DataFrame; the same call on a batch DataFrame is
     rejected by Spark (applyInPandasWithState is streaming-only), which is
     the correct contract — batch dedup is operators/dedup.py's job."""
+    if emit_maybe_dups and state_mode != "bloom":
+        raise ValueError("emit_maybe_dups requires state_mode='bloom' "
+                         "(exact state has no maybe-dups by definition)")
     out_fields = [StructField("shard_id", IntegerType())] + [
         f for f in stream.schema.fields
     ]
+    if emit_maybe_dups:
+        out_fields.append(StructField("_maybe_dup", BooleanType()))
     out_schema = StructType(out_fields)
     in_cols = [f.name for f in stream.schema.fields]
 
@@ -121,7 +136,16 @@ def stateful_seen_dedup(stream: DataFrame, key_col: str = "url_canon",
                 changed = True
                 out = pdf.loc[keep, in_cols].copy()
                 out.insert(0, "shard_id", key[0])
+                if emit_maybe_dups:
+                    out["_maybe_dup"] = False
                 yield out
+            if emit_maybe_dups:
+                maybe = (~fresh) & first_in_batch
+                if maybe.any():
+                    out = pdf.loc[maybe, in_cols].copy()
+                    out.insert(0, "shard_id", key[0])
+                    out["_maybe_dup"] = True
+                    yield out
         if changed:
             state.update((bits.tobytes(), n_items))
 
@@ -144,3 +168,71 @@ def stateful_seen_dedup(stream: DataFrame, key_col: str = "url_canon",
             fn, out_schema, st_schema,
             outputMode="append", timeoutConf="NoTimeout")
     )
+
+
+def reconciled_seen_dedup(stream: DataFrame, seen_table_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          key_col: str = "url_canon", n_shards: int = 32,
+                          bloom_bytes: int = 1 << 17,
+                          trigger_once: bool = False):
+    """EXACT first-occurrence dedup with BOUNDED streaming state — the
+    composite the module docstring pins as the 10^10-URL architecture:
+    bloom bitmaps in stream state (constant bytes, zero false negatives)
+    plus a per-batch exact reconciliation of the bloom-POSITIVE rows
+    against the durable seen TABLE (parquet — the exact set lives in
+    storage, not in state).
+
+    Per micro-batch (foreachBatch):
+    - `_maybe_dup=false` rows were bloom-negative at arrival: provably
+      first-occurrence, emitted directly.
+    - `_maybe_dup=true` rows are either true duplicates or false-positive
+      collisions; an exact left_anti against (seen table ∪ this batch's
+      fresh keys) recovers exactly the collided fresh keys — each emitted
+      ONCE, because the reconciliation also appends every emitted key to
+      the seen table, so a later occurrence (still bloom-positive) finds
+      it there and dies in the anti-join. The union with the batch's own
+      fresh keys closes the intra-batch race (a key emitted fresh earlier
+      in the same batch is bloom-positive by the time a later chunk
+      re-sees it, before the table append happens).
+
+    Output rows land in `out_dir` with a batch_id column; the seen table
+    accumulates one skinny key row per emission. Failure replay of an
+    uncommitted batch can re-append (the batch_id column is the
+    downstream dedup handle — same exactly-once story as ingest.py); the
+    seen table is a SET under anti-join semantics, so replayed key rows
+    are harmless."""
+    import os
+
+    flagged = stateful_seen_dedup(
+        stream, key_col=key_col, n_shards=n_shards, state_mode="bloom",
+        bloom_bytes=bloom_bytes, emit_maybe_dups=True)
+    data_cols = [f.name for f in flagged.schema.fields
+                 if f.name != "_maybe_dup"]
+
+    def reconcile(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            fresh = batch_df.filter(~F.col("_maybe_dup")).select(data_cols)
+            maybe = (batch_df.filter(F.col("_maybe_dup"))
+                     .select(data_cols).dropDuplicates([key_col]))
+            known = fresh.select(key_col)
+            if os.path.isdir(seen_table_dir):
+                known = known.unionByName(
+                    spark.read.parquet(seen_table_dir).select(key_col))
+            recovered = maybe.join(known, on=key_col, how="left_anti")
+            emitted = fresh.unionByName(recovered).persist()
+            (emitted.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
+            (emitted.select(key_col)
+             .write.mode("append").parquet(seen_table_dir))
+            emitted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (flagged.writeStream.outputMode("append")
+              .foreachBatch(reconcile)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
