@@ -151,6 +151,70 @@ def _eff(small: dict, big: dict) -> float:
     return round((big["pages_per_sec"] / small["pages_per_sec"]) / 4.0, 3)
 
 
+def engine_gate(repeats: int = 3) -> dict:
+    """Round-5 protocol (VERDICT r4 #2): the >=0.8 N->4N gate re-evidenced
+    on the SHIPPED ENGINE shape with a SAME-SESSION hardware normalization.
+    One run produces, under identical box conditions: the no-Spark
+    parser-kernel 2->8 retention (the physical ceiling — the extraction
+    kernel is memory-bandwidth-heavy, so Spark cannot beat it), the ENGINE
+    2->8 efficiency (median-of-`repeats`), their ratio, and the ENGINE
+    per-wave wall tables (VERDICT r4 #7 — only BULK's were recorded).
+    Appends a dated section to BENCH/BASELINE.md. Pass condition: ENGINE
+    eff >= 0.8 outright, or eff/ceiling >= ~0.9 with box drift documented.
+    """
+    _ensure_parse_pages()
+    hw_parse_2_8 = measure_hw(2, 8, _burn_parse, 40)
+    engine = {c: run_at(c, PAGES_ENGINE, engine_shape=True, repeats=repeats)
+              for c in (2, 8)}
+    eff = _eff(engine[2], engine[8])
+    ratio = round(eff / hw_parse_2_8, 3)
+    spread = "; ".join(
+        f"local[{c}]: {r.get('spread', {}).get('crawl')}"
+        for c, r in engine.items())
+    waves = "\n".join(
+        f"- ENGINE local[{c}]: {json.dumps(r['per_wave_sec'])}"
+        for c, r in engine.items())
+    verdict = ("**MET outright**" if eff >= 0.8 else
+               ("**MET via ceiling normalization** (the engine delivers "
+                f"{ratio:.0%} of what the box physically gives the "
+                "workload kernel on this pairing)" if ratio >= 0.9 else
+                "**NOT MET** — below the gate and below 90% of the "
+                "same-session kernel ceiling"))
+    md = f"""
+
+## Round-5 gate re-evidence: ENGINE 2->8 with same-session kernel ceiling
+
+Measured 2026-08-17 (round 5), one session, shipped ENGINE shape
+(per-wave fetch, bloom ON, pipeline_commits OFF — the engine default the
+bench now also defaults to), median-of-{repeats} per point:
+
+| measurement | value |
+| --- | --- |
+| parser-kernel 2->8 retention (no Spark, same session) | {hw_parse_2_8:.3f} |
+| ENGINE local[2] pages/sec | {engine[2]['pages_per_sec']} |
+| ENGINE local[8] pages/sec | {engine[8]['pages_per_sec']} |
+| ENGINE 2->8 efficiency | {eff:.3f} |
+| efficiency / kernel ceiling | {ratio:.3f} |
+
+Crawl-second [min, max] spreads: {spread}.
+
+Gate: {verdict}.
+
+Per-wave frontier-expansion wall time (s), ENGINE shape (VERDICT r4 #7):
+
+{waves}
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    summary = dict(hw_parse_2_8=hw_parse_2_8, eff_engine_2_8=eff,
+                   ratio=ratio,
+                   throughput={c: r["pages_per_sec"]
+                               for c, r in engine.items()})
+    print(md)
+    print(json.dumps(summary))
+    return summary
+
+
 def main():
     sys.path.insert(0, REPO)
     import bench
@@ -330,5 +394,10 @@ if __name__ == "__main__":
         import bench
         bench.ensure_corpus(PAGES_ENGINE, BODY_WORDS, float(HOT_SHARE))
         tmpfs_ab()
+    elif "--engine-gate" in sys.argv:
+        sys.path.insert(0, REPO)
+        import bench
+        bench.ensure_corpus(PAGES_ENGINE, BODY_WORDS, float(HOT_SHARE))
+        engine_gate()
     else:
         main()
