@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "embedding_dedup", "session_windows", "multimodal_meta",
     # round-4 additions: both ANN paths (oracle-checked) + media resize
     "lsh_knn_verified", "ivf_knn_verified", "media_resize",
+    # round-5 addition: pixel-true PNG resample round trip (oracle-checked)
+    "png_pixel_resize",
 ]
 
 
