@@ -75,6 +75,11 @@ def build_spark(cpus: int):
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # PySpark's per-op call-site capture does TWO extra Py4J round
+        # trips per DataFrame method (conf.get + origin.set) plus a Python
+        # stack walk — pure serial driver overhead on the wave loop. Must
+        # be set at session build: pyspark caches the flag on first use.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
 

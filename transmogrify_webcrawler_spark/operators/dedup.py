@@ -42,6 +42,8 @@ from pyspark.sql.types import (
     BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
 )
 
+from ..functions.exprcache import ecached
+
 BLOOM_K = 7  # number of hash probes (optimal for ~10 bits/key)
 
 SHARD_SCHEMA = StructType([
@@ -52,13 +54,18 @@ SHARD_SCHEMA = StructType([
 
 
 def with_bloom_hashes(df: DataFrame, n_shards: int,
-                      col: str = "url_canon") -> DataFrame:
+                      col: str = "url_canon",
+                      exprs: dict | None = None) -> DataFrame:
     """JVM-side double-hash + shard routing: one source of truth for build
     AND probe (the zero-false-negative invariant hangs on this)."""
-    h1 = F.xxhash64(col)
-    return (df.withColumn("_h1", h1)
-              .withColumn("_h2", F.xxhash64(F.lit(1), F.col(col)))
-              .withColumn("_sid", F.pmod(h1, F.lit(n_shards)).cast("int")))
+    def _build():
+        h1 = F.xxhash64(col)
+        return {"_h1": h1,
+                "_h2": F.xxhash64(F.lit(1), F.col(col)),
+                "_sid": F.pmod(h1, F.lit(n_shards)).cast("int")}
+
+    return df.withColumns(
+        ecached(exprs, ("bloom_hashes", col, n_shards), _build))
 
 
 def _np_hashes(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -88,11 +95,12 @@ def _test_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 
 def build_bloom_fragments(urls: DataFrame, n_shards: int, nbytes: int,
-                          col: str = "url_canon") -> DataFrame:
+                          col: str = "url_canon",
+                          exprs: dict | None = None) -> DataFrame:
     """One fixed-size fragment row per touched shard, built distributed.
     Repartition by shard id first (skinny shuffle: sid + two int64s) so the
     output is <= n_shards rows per call regardless of input partitioning."""
-    hashed = with_bloom_hashes(urls.select(col), n_shards, col) \
+    hashed = with_bloom_hashes(urls.select(col), n_shards, col, exprs) \
         .select("_sid", "_h1", "_h2").repartition(n_shards, "_sid")
 
     def build(pdfs):
@@ -144,17 +152,22 @@ def build_bloom_shards(seen: DataFrame, n_shards: int,
 
 
 def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int,
-                nbytes: int, col: str = "url_canon") -> DataFrame:
+                nbytes: int, col: str = "url_canon",
+                exprs: dict | None = None) -> DataFrame:
     """Shard-routed probe: cogroup(candidates by shard id, fragments by
     shard id) — each task receives one shard's candidate rows AND exactly
     that shard's fragments, ORs the fragments, tests vectorized. Adds
     boolean ``_maybe_seen``. A shard with no fragments (or none at all, the
     bootstrap wave) probes everything 'definitely new'."""
-    out_schema = StructType(
-        list(candidates.schema.fields)
-        + [StructField("_maybe_seen", BooleanType())])
-    cand_cols = [f.name for f in candidates.schema.fields]
-    hashed = with_bloom_hashes(candidates, n_shards, col)
+    # candidates.schema is a JVM round trip; within one crawler run the
+    # candidate shape is fixed, so the exprs cache (owned by the caller)
+    # may pin it — callers with varying candidate shapes pass exprs=None
+    out_schema, cand_cols = ecached(
+        exprs, "bloom_probe_schema",
+        lambda: (StructType(list(candidates.schema.fields)
+                            + [StructField("_maybe_seen", BooleanType())]),
+                 [f.name for f in candidates.schema.fields]))
+    hashed = with_bloom_hashes(candidates, n_shards, col, exprs)
 
     def probe(key, cdf, sdf):
         flags = np.zeros(len(cdf), dtype=bool)

@@ -23,26 +23,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprcache import ecached
 from ..functions.udfs import registered_domain_udf
 
 PRIORITY_SCALE = 1000.0
 MAX_INLINK_CREDIT = 999
 
 
-def with_priority(frontier: DataFrame) -> DataFrame:
+def with_priority(frontier: DataFrame, exprs: dict | None = None) -> DataFrame:
     """priority = depth*1000 - min(n_refs, 999) — BFS-major with in-link
     score tiebreak (BASELINE.json north_star: 'depth + in-link score').
     Pure Catalyst arithmetic; exact in float64 (integer-valued)."""
     return frontier.withColumn(
         "priority",
-        F.col("depth").cast("double") * F.lit(PRIORITY_SCALE)
-        - F.least(F.col("n_refs"), F.lit(MAX_INLINK_CREDIT)).cast("double"),
+        ecached(exprs, "priority", lambda:
+                F.col("depth").cast("double") * F.lit(PRIORITY_SCALE)
+                - F.least(F.col("n_refs"), F.lit(MAX_INLINK_CREDIT))
+                .cast("double")),
     )
 
 
 def politeness_budget(
     frontier: DataFrame, per_domain_budget: int, n_salts: int = 8,
-    domain_budgets: DataFrame | None = None,
+    domain_budgets: DataFrame | None = None, exprs: dict | None = None,
 ) -> DataFrame:
     """A1: keep the per-domain top-`budget` URLs by (priority, url_canon),
     salted two-phase to defeat host skew [BASELINE.json north_rule].
@@ -62,30 +65,32 @@ def politeness_budget(
     df = frontier
     if "registered_domain" not in df.columns:
         df = df.withColumn(
-            "registered_domain", registered_domain_udf("url_canon")
+            "registered_domain",
+            ecached(exprs, "pb_regdom",
+                    lambda: registered_domain_udf("url_canon")),
         )
-    if domain_budgets is not None:
+    has_budgets = domain_budgets is not None
+    if has_budgets:
         df = df.join(domain_budgets, "registered_domain", "left")
-        budget_col = F.coalesce(F.col("dom_budget"),
-                                F.lit(per_domain_budget))
-    else:
-        budget_col = F.lit(per_domain_budget)
-    salt = F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))
-    w_salt = Window.partitionBy(F.col("registered_domain"), salt) \
-        .orderBy("priority", "url_canon")
-    phase_a = (
-        df.withColumn("_r", F.row_number().over(w_salt))
-        .filter(F.col("_r") <= budget_col)
-        .drop("_r")
-    )
-    w_dom = Window.partitionBy("registered_domain") \
-        .orderBy("priority", "url_canon")
-    out = (
-        phase_a.withColumn("_r", F.row_number().over(w_dom))
-        .filter(F.col("_r") <= budget_col)
-        .drop("_r")
-    )
-    return out.drop("dom_budget") if domain_budgets is not None else out
+
+    def _build():
+        budget_col = (F.coalesce(F.col("dom_budget"),
+                                 F.lit(per_domain_budget))
+                      if has_budgets else F.lit(per_domain_budget))
+        salt = F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))
+        w_salt = Window.partitionBy(F.col("registered_domain"), salt) \
+            .orderBy("priority", "url_canon")
+        w_dom = Window.partitionBy("registered_domain") \
+            .orderBy("priority", "url_canon")
+        return (F.row_number().over(w_salt),
+                F.row_number().over(w_dom),
+                F.col("_r") <= budget_col)
+
+    rank_salt, rank_dom, keep = ecached(
+        exprs, ("pb", per_domain_budget, n_salts, has_budgets), _build)
+    phase_a = df.withColumn("_r", rank_salt).filter(keep).drop("_r")
+    out = phase_a.withColumn("_r", rank_dom).filter(keep).drop("_r")
+    return out.drop("dom_budget") if has_budgets else out
 
 
 def wave_topk(frontier: DataFrame, wave_size: int,
@@ -183,7 +188,8 @@ def range_topk(df: DataFrame, k: int, n_parts: int | None = None,
 
 def assign_sortorder(emitted: DataFrame, offset: int,
                      approx_rows: int | None = None,
-                     broadcast_limit: int = 2_000_000) -> DataFrame:
+                     broadcast_limit: int = 2_000_000,
+                     exprs: dict | None = None) -> DataFrame:
     """W1: wave-major gap-free crawl index; ties broken on url_canon
     [UP webcrawler.py _sortorder — monotone BFS counter].
 
@@ -195,11 +201,13 @@ def assign_sortorder(emitted: DataFrame, offset: int,
     The join-back is hinted broadcast while the wave is small enough
     (`approx_rows` from the caller's budget); a 10^7-row wave falls back
     to a shuffle join, which is the right plan there."""
-    w = Window.orderBy("priority", "url_canon")
+    rank = ecached(
+        exprs, "sortorder_rank",
+        lambda: F.row_number().over(Window.orderBy("priority", "url_canon"))
+        .cast("long"))
     ranked = (
         emitted.select("url_canon", "priority")
-        .withColumn("sortorder",
-                    F.row_number().over(w).cast("long") + F.lit(offset) - 1)
+        .withColumn("sortorder", rank + F.lit(offset - 1))
         .select("url_canon", "sortorder")
     )
     if approx_rows is None or approx_rows <= broadcast_limit:

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from ..oracle.crawler import DEFAULT_AGENT
 from ..oracle.extract import _TYPE_MAP
+from ..functions.exprcache import ecached
 from ..functions.udfs import (
     canonicalize_udf, crawl_delay_udf, extract_page_udf,
     registered_domain_udf, robots_allowed_udf, url_to_path_udf,
@@ -277,6 +278,16 @@ class SparkCrawler:
         self.write_timings: list[dict] = []  # per-table commit write times
         self._winners: DataFrame | None = None  # pinned dedup dim (skinny)
         self._ckpt_dirs: list = []  # (wave, dir) rotations we created
+        # reusable unresolved Column/WindowSpec objects (exprcache.ecached):
+        # build_wave constructs ~1,900 expression nodes per wave, each a
+        # Py4J round trip — measured 1.9 s/wave of pure driver time
+        # (cProfile at local[4]: build_wave 19.2 s of a 92.7 s ten-wave
+        # crawl), a SERIAL cost that lands on N->4N scaling as an Amdahl
+        # term. Expressions are immutable JVM trees bound to no DataFrame,
+        # so every wave-invariant one is built once and replanted;
+        # run-varying inputs (roots, ignore, precompute shape) key the
+        # cache entries, and only F.lit(wave)/the sortorder offset rebuild.
+        self._exprs: dict = {}
         ship_package(spark)  # executors need the oracle inside the UDFs
         # crawler tuning must not bleed into whatever the session runs next
         # (bench.py times harness queries on the same session): remember the
@@ -503,14 +514,16 @@ class SparkCrawler:
         commit is still writing. Pure DAG construction plus persist()
         marks; the only Spark actions are inside wave_topk's scale path."""
         cfg = self.cfg
+        ex = self._exprs  # wave-invariant expression cache (see __init__)
+        wave_lit = F.lit(wave)
 
         # --- selection: priority -> salted politeness -> global top-k ------
         # (no count() gate: a nonempty frontier always selects >= 1 row —
         # politeness keeps at least one per domain, top-k limit >= 1 — and
         # frontier emptiness is known from the previous commit's counts)
-        f = with_priority(frontier)
+        f = with_priority(frontier, exprs=ex)
         f = politeness_budget(f, cfg.per_domain_budget, cfg.n_salts,
-                              domain_budgets)
+                              domain_budgets, exprs=ex)
         topk_caches: list = []
         selected = wave_topk(f, budget, cfg.topk_single_pass_limit,
                              caches=topk_caches).persist()
@@ -519,37 +532,37 @@ class SparkCrawler:
         sel = selected.join(robots, "registered_domain", "left")
         sel = sel.withColumn(
             "allowed",
-            robots_allowed_udf("robots_txt", "url_canon", F.lit(cfg.agent)),
+            ecached(ex, "allowed", lambda: robots_allowed_udf(
+                "robots_txt", "url_canon", F.lit(cfg.agent))),
         ).drop("robots_txt")
         fetched = fetch_join_plan(sel, selected, pages_prepared, budget,
                                   cfg.selected_broadcast_rows)
         is_precomputed = "n_bytes" in pages_prepared.columns
-        body_len = (F.col("n_bytes") if is_precomputed
-                    else F.length("html"))
-        fetched = fetched.withColumn(
-            "status",
-            F.when(~F.col("allowed"), F.lit("robots"))
-            .when(body_len.isNull(), F.lit("notfound"))
-            .when(body_len > cfg.maxsize, F.lit("maxsize"))
-            .otherwise(F.lit("ok")),
-        )
 
-        is_ok = F.col("status") == "ok"
+        def _status_col():
+            body_len = (F.col("n_bytes") if is_precomputed
+                        else F.length("html"))
+            return (F.when(~F.col("allowed"), F.lit("robots"))
+                    .when(body_len.isNull(), F.lit("notfound"))
+                    .when(body_len > cfg.maxsize, F.lit("maxsize"))
+                    .otherwise(F.lit("ok")))
+
+        fetched = fetched.withColumn(
+            "status", ecached(ex, ("status", is_precomputed), _status_col))
+
+        is_ok = ecached(ex, "is_ok", lambda: F.col("status") == "ok")
         if is_precomputed:
             # extraction already ran corpus-wide (fetch_mode="precompute");
-            # null out gated rows so downstream semantics match the lazy path
-            parsed = (
-                fetched
-                .withColumn("mimetype", F.when(is_ok, F.col("mimetype")))
-                .withColumn("links",
-                            F.coalesce(F.when(is_ok, F.col("links")),
-                                       F.array().cast("array<string>")))
-                .withColumn("extracted_text",
-                            F.when(is_ok, F.lit(None).cast("string")))
-                .withColumn("n_bytes",
-                            F.when(is_ok, F.col("n_bytes")).otherwise(0))
-                .persist()
-            )
+            # null out gated rows so downstream semantics match the lazy
+            # path (one withColumns call: the four columns are mutually
+            # independent, so simultaneous application == the old chain)
+            parsed = fetched.withColumns(ecached(ex, "parsed_cols_pre", lambda: {
+                "mimetype": F.when(is_ok, F.col("mimetype")),
+                "links": F.coalesce(F.when(is_ok, F.col("links")),
+                                    F.array().cast("array<string>")),
+                "extracted_text": F.when(is_ok, F.lit(None).cast("string")),
+                "n_bytes": F.when(is_ok, F.col("n_bytes")).otherwise(0),
+            })).persist()
         else:
             # --- extraction (ONE Arrow boundary), lazy per-wave --------------
             # fused sniff+links+text UDF: the fat html column crosses to
@@ -562,68 +575,84 @@ class SparkCrawler:
             # 12 g); local disk + page cache serve the few re-reads fine.
             from pyspark import StorageLevel
 
-            ok_html = F.when(is_ok, F.col("html"))
-            pg = extract_page_udf(ok_html, F.col("url_canon"),
-                                  F.lit(cfg.nonames))
+            pg = ecached(ex, "pg", lambda: extract_page_udf(
+                F.when(is_ok, F.col("html")), F.col("url_canon"),
+                F.lit(cfg.nonames)))
             parsed = (
                 fetched
                 .withColumn("_pg", pg)
-                .withColumn("mimetype",
-                            F.when(is_ok, F.col("_pg.mimetype")))
-                .withColumn("extracted_text",
-                            F.when(is_ok, F.coalesce(F.col("_pg.text"),
-                                                     F.lit(""))))
-                .withColumn("links",
-                            F.coalesce(F.col("_pg.links"),
-                                       F.array().cast("array<string>")))
-                .withColumn("n_bytes",
-                            F.when(is_ok, F.length("html")).otherwise(0))
+                .withColumns(ecached(ex, "parsed_cols_lazy", lambda: {
+                    "mimetype": F.when(is_ok, F.col("_pg.mimetype")),
+                    "extracted_text":
+                        F.when(is_ok, F.coalesce(F.col("_pg.text"),
+                                                 F.lit(""))),
+                    "links": F.coalesce(F.col("_pg.links"),
+                                        F.array().cast("array<string>")),
+                    "n_bytes":
+                        F.when(is_ok, F.length("html")).otherwise(0),
+                }))
                 .drop("html", "_pg")
                 .persist(StorageLevel.DISK_ONLY)
             )
-        is_html = is_ok & (F.col("mimetype") == "text/html")
+        is_html = ecached(ex, "is_html", lambda:
+                          is_ok & (F.col("mimetype") == "text/html"))
 
-        errors = parsed.filter(~is_ok).select(
-            "url_canon", F.lit(wave).alias("wave"),
-            F.col("status").alias("reason"),
+        errors = parsed.filter(ecached(ex, "not_ok", lambda: ~is_ok)).select(
+            ecached(ex, "url_canon_col", lambda: F.col("url_canon")),
+            wave_lit.alias("wave"),
+            ecached(ex, "reason", lambda: F.col("status").alias("reason")),
         )
 
-        site = site_url_expr(F.col("url_canon"), roots)
-        emitted = parsed.filter(is_ok).withColumn("site_url", site)
+        emitted = parsed.filter(is_ok).withColumn(
+            "site_url", ecached(ex, ("site", roots), lambda:
+                                site_url_expr(F.col("url_canon"), roots)))
+        crawled_base = ecached(ex, "crawled_cols", lambda: (
+            [F.col("url"), F.col("url_canon")],
+            [F.col("depth"), F.col("priority"),
+             url_to_path_udf("url_canon", "site_url").alias("path"),
+             F.col("site_url"), F.col("mimetype"),
+             content_type_expr(F.col("mimetype")).alias("content_type"),
+             (F.parse_url("url_canon", F.lit("PATH")).endswith("/")
+              ).alias("isindex"),
+             F.col("extracted_text")]))
         crawled_new = assign_sortorder(
-            emitted.select(
-                "url", "url_canon", F.lit(wave).alias("wave"), "depth",
-                "priority",
-                url_to_path_udf("url_canon", "site_url").alias("path"),
-                "site_url", "mimetype",
-                content_type_expr(F.col("mimetype")).alias("content_type"),
-                (F.parse_url("url_canon", F.lit("PATH")).endswith("/")
-                 ).alias("isindex"),
-                "extracted_text",
-            ),
+            emitted.select(*crawled_base[0], wave_lit.alias("wave"),
+                           *crawled_base[1]),
             offset=crawled_count,
             approx_rows=budget,
+            exprs=ex,
         )
 
         # --- link pipeline: scope -> ignore -> dedup -> candidates ----------
-        lk = (
-            parsed.filter(is_html)
-            .select(F.col("url_canon").alias("src"), "depth",
-                    F.explode("links").alias("dst"))
-        )
-        in_scope = in_scope_expr(F.col("dst"), roots)
-        ext_links = lk.filter(~in_scope).select(
-            "src", "dst", F.lit(wave).alias("wave"))
+        lk = parsed.filter(is_html).select(
+            *ecached(ex, "lk_cols", lambda: [
+                F.col("url_canon").alias("src"), F.col("depth"),
+                F.explode("links").alias("dst")]))
+        in_scope = ecached(ex, ("in_scope", roots), lambda:
+                           in_scope_expr(F.col("dst"), roots))
+        src_dst = ecached(ex, "src_dst", lambda: [F.col("src"),
+                                                  F.col("dst")])
+        ext_links = lk.filter(ecached(ex, ("not_in_scope", roots), lambda:
+                                      ~in_scope)) \
+            .select(*src_dst, wave_lit.alias("wave"))
         scoped = lk.filter(in_scope)
-        ignored_cond = F.lit(False)
-        for pat in cfg.ignore:  # re.search semantics == rlike (pinned, F1)
-            ignored_cond = ignored_cond | F.col("dst").rlike(pat)
-        kept = scoped.filter(~ignored_cond).dropDuplicates(["src", "dst"])
-        links_new = kept.select("src", "dst", F.lit(wave).alias("wave"))
+
+        def _keep_cond():
+            ignored = F.lit(False)
+            for pat in cfg.ignore:  # re.search semantics == rlike (F1)
+                ignored = ignored | F.col("dst").rlike(pat)
+            return ~ignored, ignored
+
+        keep_cond, ignored_cond = ecached(
+            ex, ("ignore", cfg.ignore), _keep_cond)
+        kept = scoped.filter(keep_cond).dropDuplicates(["src", "dst"])
+        links_new = kept.select(*src_dst, wave_lit.alias("wave"))
 
         candidates = kept.groupBy("dst").agg(
-            (F.min("depth") + 1).alias("depth"),
-            F.count("*").alias("new_refs"),  # src distinct after dedup
+            *ecached(ex, "cand_aggs", lambda: [
+                (F.min("depth") + 1).alias("depth"),
+                F.count("*").alias("new_refs"),  # src distinct after dedup
+            ])
         ).withColumnRenamed("dst", "url_canon")
 
         # --- frontier update: pending-entry merge + seen anti-join ----------
@@ -633,33 +662,37 @@ class SparkCrawler:
         merged = (
             remaining.alias("f")
             .join(cand.alias("c"), "url_canon", "left")
-            .select(
-                "url_canon",
+            .select(*ecached(ex, "merged_cols", lambda: [
+                F.col("url_canon"),
                 F.least(F.col("f.depth"), F.coalesce(F.col("c.depth"),
                         F.lit(2**31 - 1))).alias("depth"),
                 (F.col("f.n_refs") + F.coalesce(F.col("c.new_refs"),
                         F.lit(0))).alias("n_refs"),
                 F.col("f.registered_domain").alias("registered_domain"),
-            )
+            ]))
         )
         # frontier ⊆ seen (every pending URL was added to seen at discovery),
         # so the seen anti-join alone yields exactly the fresh candidates —
         # no separate anti-join against `remaining` is needed
         if cfg.use_bloom:
             flagged = bloom_probe(cand, shards, cfg.n_bloom_shards,
-                                  cfg.bloom_shard_bytes)
-            definitely_new = flagged.filter(~F.col("_maybe_seen")) \
+                                  cfg.bloom_shard_bytes, exprs=ex)
+            maybe_seen = ecached(ex, "maybe_seen",
+                                 lambda: F.col("_maybe_seen"))
+            definitely_new = flagged.filter(~maybe_seen) \
                 .drop("_maybe_seen")
-            suspects = flagged.filter(F.col("_maybe_seen")) \
-                .drop("_maybe_seen")
+            suspects = flagged.filter(maybe_seen).drop("_maybe_seen")
             new_entries = definitely_new.unionByName(
                 seen_anti_join(suspects, seen))
         else:
             new_entries = seen_anti_join(cand, seen)
         new_entries = new_entries.select(
-            "url_canon", "depth", F.col("new_refs").alias("n_refs"),
-            registered_domain_udf("url_canon").alias("registered_domain"),
-        )  # consumed by frontier', seen', and the bloom update
+            *ecached(ex, "ne_cols", lambda: [
+                F.col("url_canon"), F.col("depth"),
+                F.col("new_refs").alias("n_refs"),
+                registered_domain_udf("url_canon")
+                .alias("registered_domain"),
+            ]))  # consumed by frontier', seen', and the bloom update
         if truncate is not None:
             # pipelined loop: new_entries' plan embeds the seen chain,
             # whose plan embeds the previous wave's new_entries — an
@@ -676,16 +709,19 @@ class SparkCrawler:
 
         frontier_next = merged.unionByName(new_entries)
         seen_new = new_entries.select(
-            "url_canon", F.lit(wave).alias("wave"))
+            ecached(ex, "url_canon_col", lambda: F.col("url_canon")),
+            wave_lit.alias("wave"))
 
         # --- lineage metrics (A3): per-partition rows + ONE wave-level row --
         # (wave-level scalars like skipped_ignore live on partition_id=-1 so
         # a uniform SUM over the table is correct; both aggregates ride the
         # same metrics write job — no dedicated count() jobs per wave)
-        zero = F.lit(0).cast("long")
+        zero = ecached(ex, "zero", lambda: F.lit(0).cast("long"))
         part_metrics = (
-            parsed.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
+            parsed.groupBy(ecached(ex, "pid_col", lambda:
+                                   F.spark_partition_id()
+                                   .alias("partition_id")))
+            .agg(*ecached(ex, "part_aggs", lambda: [
                 F.sum(F.when(is_ok, 1).otherwise(0)).alias("fetched"),
                 F.sum(F.when(is_html, 1).otherwise(0)).alias("parsed"),
                 F.sum(F.when(F.col("status") == "robots", 1).otherwise(0))
@@ -695,20 +731,22 @@ class SparkCrawler:
                 F.sum(F.when(F.col("status") == "notfound", 1).otherwise(0))
                  .alias("skipped_notfound"),
                 F.sum("n_bytes").alias("bytes"),
-            )
-            .withColumn("wave", F.lit(wave))
-            .withColumn("skipped_ignore", zero)
+            ]))
+            .withColumns({"wave": wave_lit, "skipped_ignore": zero})
         )
         wave_metrics = lk.agg(
-            F.coalesce(F.sum(F.when(in_scope & ignored_cond, 1)
-                             .otherwise(0)), F.lit(0))
-            .cast("long").alias("skipped_ignore")
+            ecached(ex, ("ign_agg", roots, cfg.ignore), lambda:
+                    F.coalesce(F.sum(F.when(in_scope & ignored_cond, 1)
+                                     .otherwise(0)), F.lit(0))
+                    .cast("long").alias("skipped_ignore"))
         ).select(
-            F.lit(-1).alias("partition_id"), zero.alias("fetched"),
-            zero.alias("parsed"), zero.alias("skipped_robots"),
-            zero.alias("skipped_maxsize"), zero.alias("skipped_notfound"),
-            zero.alias("bytes"), F.lit(wave).alias("wave"),
-            "skipped_ignore",
+            *ecached(ex, "wave_metric_cols", lambda: [
+                F.lit(-1).alias("partition_id"), zero.alias("fetched"),
+                zero.alias("parsed"), zero.alias("skipped_robots"),
+                zero.alias("skipped_maxsize"), zero.alias("skipped_notfound"),
+                zero.alias("bytes")]),
+            wave_lit.alias("wave"),
+            ecached(ex, "ign_col", lambda: F.col("skipped_ignore")),
         )
         metrics = part_metrics.unionByName(wave_metrics)
 
@@ -726,7 +764,7 @@ class SparkCrawler:
             # wave's probe while the commit writes them
             new_frags = build_bloom_fragments(
                 seen_new.select("url_canon"), cfg.n_bloom_shards,
-                cfg.bloom_shard_bytes)
+                cfg.bloom_shard_bytes, exprs=ex)
             w["new_frags"] = new_frags
             compact = (bloom_rebuild
                        or wave % cfg.bloom_compact_every
