@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "lsh_knn_verified", "ivf_knn_verified", "media_resize",
     # round-5 addition: pixel-true PNG resample round trip (oracle-checked)
     "png_pixel_resize",
+    # round-5 graph ops: fixed-point PageRank and pair->cluster components
+    "pagerank", "dup_clusters",
 ]
 
 

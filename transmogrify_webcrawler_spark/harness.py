@@ -596,6 +596,43 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> retention CLUSTERS: connected components (6-round
+    min-label propagation) over the exact-Jaccard pair graph. The missing
+    last step of every pair-emitting dedup family — "keep one doc per
+    duplicate cluster" needs the transitive closure, not the pairs."""
+    from .operators.graph import connected_components
+    from .operators.textops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                                threshold=0.2)
+    return connected_components(pairs, iterations=6, src="a", dst="b")
+
+
+def _sql_dup_clusters() -> str:
+    from .operators.graph import connected_components_sql
+    return connected_components_sql(
+        "SELECT a AS src, b AS dst FROM (" + SQL_NGRAM_JACCARD + ")",
+        iterations=6)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    order->part link graph — the principled upgrade of inlink_score (A2).
+    All-BIGINT arithmetic makes the result bit-exact under any partitioning,
+    so the oracle equality is exact, not tolerance-based."""
+    from .operators.graph import pagerank_fixed
+    return pagerank_fixed(_read(spark, sf_dir, "lineitem"), iterations=3,
+                          src="l_orderkey", dst="l_partkey")
+
+
+def _sql_pagerank() -> str:
+    from .operators.graph import pagerank_sql
+    return pagerank_sql(
+        "SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem",
+        iterations=3)
+
+
 def q_minhash_verified(spark, sf_dir):
     """MinHash-LSH recall, ORACLE-CHECKED: every exact near-dup pair
     (word-3-gram Jaccard >= 0.95, SQL-computable) must surface as an LSH
@@ -1170,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
+        "pagerank": q_pagerank,
         "minhash_verified": q_minhash_verified,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
@@ -1220,6 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dup_clusters": _sql_dup_clusters(),
+        "pagerank": _sql_pagerank(),
         "minhash_verified": SQL_MINHASH_VERIFIED,
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,

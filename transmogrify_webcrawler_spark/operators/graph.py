@@ -1,0 +1,205 @@
+"""Link-graph operators over an edge list (src, dst) — PageRank and
+connected components.
+
+Why they belong in a crawler's engine: the frontier already scores URLs by
+raw in-link count (operators/frontier.py inlink_score, SURVEY §2 A2);
+PageRank is that signal's principled big sibling (crawl prioritization,
+training-data quality weighting a la CommonCrawl-derived corpora), and
+connected components is the missing last step of every near-dup family in
+operators/textops.py and similarity.py — LSH/SimHash/embedding dedup emit
+candidate PAIRS, but retention policy ("keep one doc per duplicate
+CLUSTER") needs the transitive closure of those pairs.
+
+Determinism contract (what makes these oracle-checkable bit-exactly):
+
+- PageRank here is FIXED-POINT: ranks are BIGINTs scaled by 10^12, every
+  non-exact step is integer floor-division (Spark `DIV`, DuckDB `//`, both
+  exact on positive longs), and BIGINT sums are associative — so shuffle
+  order, partitioning, and engine cannot change a single bit of the result.
+  A float PageRank differs across runs in the last ulps because FP addition
+  is not associative; at 1000 executors that's a real reproducibility bug
+  for any pipeline that hashes its outputs (this repo's correctness gate
+  literally does). Dangling-node mass is dropped (documented simplification;
+  ranks then sum to < SCALE, which is fine for ranking/weighting use).
+- Connected components is k-iteration min-label propagation: after k rounds
+  each node's label is the minimum node-id within its k-hop neighborhood,
+  which equals the component minimum whenever k >= the component diameter.
+  The semantics are defined BY the iteration count, so the DuckDB oracle
+  (same k unrolled as CTEs) matches exactly even on graphs with larger
+  diameter.
+
+Scale notes (100 TB / 10^10-node graphs):
+- Each PageRank iteration is one shuffle of the skinny (node, rank) table
+  into the edge partitioning — edges and out-degrees are computed once,
+  persisted, and reused across iterations; only 16-byte rank rows move.
+  On a real cluster, pre-bucket edges by src so the per-iteration join is
+  shuffle-free on the fat side.
+- Min-label propagation does O(diameter) rounds; web graphs have small
+  effective diameter (~6-20), so it is the pragmatic choice. For adversarial
+  long-chain graphs, switch to the large-star/small-star contraction of
+  Kiveris et al. (O(log n) rounds) — same join shapes, more rounds fused.
+  Lineage across rounds is truncated via localCheckpoint to keep plans flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12
+
+
+def _edges_long(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 3,
+                   damping_pct: int = 85,
+                   src: str = "src", dst: str = "dst",
+                   n_nodes: int | None = None) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list; multi-edges collapse
+    to simple edges. Returns (node BIGINT, rank_fp BIGINT) with
+    rank ~= rank_fp / 10^12.
+
+    Update rule, all-integer (`DIV` = floor division on positive longs):
+        r0(v)      = SCALE DIV N
+        teleport   = ((100 - damping_pct) * (SCALE DIV N)) DIV 100
+        r_{i+1}(v) = teleport + (damping_pct * SUM_{(u,v) in E} (r_i(u) DIV outdeg(u))) DIV 100
+
+    `n_nodes` skips the driver-side count when the caller already knows it
+    (same convention as similarity.lsh_knn's n_queries).
+    """
+    e = _edges_long(edges, src, dst).persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = n_nodes if n_nodes is not None else nodes.count()
+    init = PAGERANK_SCALE // n
+    teleport = ((100 - damping_pct) * init) // 100
+
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank_fp DIV outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.expr(
+                    f"({damping_pct} * coalesce(s, 0L)) DIV 100"
+                )).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, iterations: int = 3,
+                 damping_pct: int = 85) -> str:
+    """DuckDB oracle for pagerank_fixed: the same integer recurrence with
+    each iteration unrolled as a CTE. `edges_sql` must yield (src, dst)."""
+    # AS MATERIALIZED: each unrolled CTE is referenced by every later one;
+    # without it DuckDB may inline, re-expanding the chain combinatorially.
+    parts = [
+        "WITH edges AS MATERIALIZED"
+        f" (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "p AS MATERIALIZED (SELECT 1000000000000 // count(*) AS init,"
+        f" ((100 - {damping_pct}) * (1000000000000 // count(*))) // 100"
+        " AS teleport FROM nodes),",
+        "outdeg AS MATERIALIZED"
+        " (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED"
+        " (SELECT node, (SELECT init FROM p) AS rank_fp FROM nodes),",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED"
+            " (SELECT n.node, (SELECT teleport FROM p)"
+            f" + ({damping_pct} * coalesce(c.s, 0)) // 100 AS rank_fp"
+            " FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.rank_fp // o.outdeg) AS s"
+            f" FROM edges e JOIN r{i} r ON e.src = r.node"
+            " JOIN outdeg o ON e.src = o.src GROUP BY e.dst"
+            ") c ON n.node = c.node),"
+        )
+    parts.append(
+        f"SELECT node, rank_fp FROM r{iterations}"
+    )
+    sql = "\n".join(parts)
+    # strip the trailing comma of the last CTE before the final SELECT
+    return sql.replace("),\nSELECT", ")\nSELECT")
+
+
+def connected_components(edges: DataFrame, iterations: int = 6,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-iteration min-label propagation over the undirected closure of the
+    edge list. Returns per-component rollup (component BIGINT = min node-id
+    within each node's k-hop neighborhood, n_nodes, min_node) — grouping the
+    near-dup PAIR output of the LSH families into retention clusters.
+
+    Deterministic for any k (see module docstring); equals true connected
+    components when k >= component diameter.
+    """
+    e = _edges_long(edges, src, dst)
+    und = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           .unionByName(e.select(F.col("dst").alias("u"),
+                                 F.col("src").alias("v")))
+           .distinct().persist())
+    labels = (und.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    for i in range(iterations):
+        neigh_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u").agg(F.min("label").alias("ml"))
+        )
+        labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
+            .select("node",
+                    F.least("label", F.coalesce("ml", "label")).alias("label"))
+        )
+        if (i + 1) % 3 == 0:
+            # flatten lineage so the per-round plan doesn't deepen unboundedly
+            labels = labels.localCheckpoint(eager=True)
+    return (labels.groupBy(F.col("label").alias("component"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.min("node").alias("min_node")))
+
+
+def connected_components_sql(edges_sql: str, iterations: int = 6) -> str:
+    """DuckDB oracle for connected_components: identical k rounds unrolled.
+    `edges_sql` must yield (src, dst)."""
+    # AS MATERIALIZED: l_i is referenced twice by l_{i+1}; inlining would
+    # blow the plan up 2^iterations-fold.
+    parts = [
+        "WITH base AS MATERIALIZED"
+        f" (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "und AS MATERIALIZED (SELECT src AS u, dst AS v FROM base"
+        " UNION SELECT dst, src FROM base),",
+        "l0 AS MATERIALIZED (SELECT u AS node, u AS label"
+        " FROM (SELECT DISTINCT u FROM und)),",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT n.node,"
+            " least(n.label, coalesce(m.ml, n.label)) AS label"
+            f" FROM l{i} n LEFT JOIN ("
+            f"SELECT und.u AS node, min(l.label) AS ml FROM und"
+            f" JOIN l{i} l ON und.v = l.node GROUP BY und.u"
+            ") m ON n.node = m.node),"
+        )
+    parts.append(
+        f"SELECT label AS component, count(*) AS n_nodes,"
+        f" min(node) AS min_node FROM l{iterations} GROUP BY label"
+    )
+    return "\n".join(parts).replace("),\nSELECT", ")\nSELECT")
