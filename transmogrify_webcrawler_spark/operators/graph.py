@@ -83,13 +83,22 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_fp"))
     for _ in range(iterations):
+        # skinny x skinny first (per-source contribution weight), so the fat
+        # edge table is joined exactly once per iteration
+        # explicit aliases: ranks/outdeg/e all share lineage (nodes and
+        # outdeg derive from e), so unqualified refs are ambiguous self-joins
+        weights = (
+            ranks.alias("r")
+            .join(outdeg.alias("d"), F.col("r.node") == F.col("d.src"))
+            .select(F.col("d.src").alias("wsrc"),
+                    F.expr("rank_fp DIV outdeg").alias("w"))
+        )
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("node"),
-                    F.expr("rank_fp DIV outdeg").alias("c"))
+            e.alias("e")
+            .join(weights.alias("wt"), F.col("e.src") == F.col("wt.wsrc"))
+            .select(F.col("e.dst").alias("node"), F.col("wt.w").alias("w"))
             .groupBy("node")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum("w").alias("s"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")
