@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "png_pixel_resize",
     # round-5 graph ops: fixed-point PageRank and pair->cluster components
     "pagerank", "dup_clusters",
+    # round-5: PII scrub (Catalyst regex chain, oracle-checked)
+    "pii_redact",
 ]
 
 

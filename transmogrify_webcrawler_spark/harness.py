@@ -633,6 +633,39 @@ def _sql_pagerank() -> str:
         iterations=3)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (training-data pipeline step), non-vacuous by construction:
+    every document gets a deterministic doc_id-derived email/phone/IPv4
+    appended IN THE QUERY (both sides), so the counts and the redacted-text
+    digest prove the patterns matched and the replacements applied. Patterns
+    live in operators/pii.py and are pinned to the Java-regex/RE2 common
+    subset so both engines find the identical match set."""
+    from .operators.pii import pii_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-123-4567 host 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 end"),
+        ).alias("text"))
+    return pii_stats(injected).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"))
+
+
+def _sql_pii_redact() -> str:
+    from .operators.pii import pii_stats_sql
+    inner = ("SELECT doc_id, text || ' contact user' || doc_id"
+             " || '@example.com tel 555-123-4567 host 10.'"
+             " || (doc_id % 256) || '.0.1 end' AS text FROM documents")
+    return ("SELECT doc_id, n_emails, n_phones, n_ips,"
+            " md5(redacted) AS redacted_md5 FROM ("
+            + pii_stats_sql(inner) + ")")
+
+
 def q_minhash_verified(spark, sf_dir):
     """MinHash-LSH recall, ORACLE-CHECKED: every exact near-dup pair
     (word-3-gram Jaccard >= 0.95, SQL-computable) must surface as an LSH
@@ -1209,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
+        "pii_redact": q_pii_redact,
         "minhash_verified": q_minhash_verified,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
@@ -1261,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
+        "pii_redact": _sql_pii_redact(),
         "minhash_verified": SQL_MINHASH_VERIFIED,
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
