@@ -72,7 +72,11 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     `n_nodes` skips the driver-side count when the caller already knows it
     (same convention as similarity.lsh_knn's n_queries).
     """
-    e = _edges_long(edges, src, dst).persist()
+    # cache edges partitioned AND sorted on the per-iteration join key: the
+    # fat table shuffles/sorts once, every iteration's sort-merge join reuses
+    # the cached layout and only skinny (node, rank) rows move per round
+    e = (_edges_long(edges, src, dst)
+         .repartition("src").sortWithinPartitions("src").persist())
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
@@ -161,10 +165,13 @@ def connected_components(edges: DataFrame, iterations: int = 6,
     components when k >= component diameter.
     """
     e = _edges_long(edges, src, dst)
+    # partition+sort the undirected closure on v (the per-round join key) so
+    # only the skinny labels table shuffles each round
     und = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
            .unionByName(e.select(F.col("dst").alias("u"),
                                  F.col("src").alias("v")))
-           .distinct().persist())
+           .distinct()
+           .repartition("v").sortWithinPartitions("v").persist())
     labels = (und.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")).persist())
     for i in range(iterations):
