@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "pagerank", "dup_clusters",
     # round-5: PII scrub (Catalyst regex chain, oracle-checked)
     "pii_redact",
+    # round-5: deterministic split + end-to-end dedup retention decision
+    "hash_split", "dedup_retention",
 ]
 
 

@@ -633,6 +633,43 @@ def _sql_pagerank() -> str:
         iterations=3)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split — content-independent,
+    RNG-free, identical on any engine/cluster size (lexicographic md5-prefix
+    compare, operators/textops.py hash_split)."""
+    from .operators.textops import hash_split
+    return hash_split(_read(spark, sf_dir, "documents"))
+
+
+def _sql_hash_split() -> str:
+    from .operators.textops import hash_split_sql
+    return hash_split_sql("SELECT doc_id FROM documents")
+
+
+def q_dedup_retention(spark, sf_dir):
+    """End of the dedup pipeline: near-dup pairs -> clusters -> per-doc
+    keep/drop decision with the canonical (cluster-min) doc id."""
+    from .operators.textops import dedup_retention, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup_retention(docs, pairs, iterations=6)
+
+
+def _sql_dedup_retention() -> str:
+    from .operators.graph import cc_labels_sql
+    labels = cc_labels_sql(
+        "SELECT a AS src, b AS dst FROM (" + SQL_NGRAM_JACCARD + ")",
+        iterations=6)
+    return f"""
+WITH lab AS MATERIALIZED ({labels})
+SELECT d.doc_id,
+       coalesce(lab.label, d.doc_id) AS canonical_id,
+       coalesce(lab.label, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (training-data pipeline step), non-vacuous by construction:
     every document gets a deterministic doc_id-derived email/phone/IPv4
@@ -1243,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
         "pii_redact": q_pii_redact,
+        "hash_split": q_hash_split,
+        "dedup_retention": q_dedup_retention,
         "minhash_verified": q_minhash_verified,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
@@ -1296,6 +1335,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
         "pii_redact": _sql_pii_redact(),
+        "hash_split": _sql_hash_split(),
+        "dedup_retention": _sql_dedup_retention(),
         "minhash_verified": SQL_MINHASH_VERIFIED,
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,

@@ -154,15 +154,13 @@ def pagerank_sql(edges_sql: str, iterations: int = 3,
     return sql.replace("),\nSELECT", ")\nSELECT")
 
 
-def connected_components(edges: DataFrame, iterations: int = 6,
-                         src: str = "src", dst: str = "dst") -> DataFrame:
-    """k-iteration min-label propagation over the undirected closure of the
-    edge list. Returns per-component rollup (component BIGINT = min node-id
-    within each node's k-hop neighborhood, n_nodes, min_node) — grouping the
-    near-dup PAIR output of the LSH families into retention clusters.
-
-    Deterministic for any k (see module docstring); equals true connected
-    components when k >= component diameter.
+def cc_labels(edges: DataFrame, iterations: int = 6,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node labels from k-iteration min-label propagation over the
+    undirected closure: (node BIGINT, label BIGINT) where label is the min
+    node-id within the node's k-hop neighborhood (= the component min when
+    k >= diameter). The label IS the cluster's canonical member, which is
+    what retention policies join against.
     """
     e = _edges_long(edges, src, dst)
     # partition+sort the undirected closure on v (the per-round join key) so
@@ -187,9 +185,27 @@ def connected_components(edges: DataFrame, iterations: int = 6,
         if (i + 1) % 3 == 0:
             # flatten lineage so the per-round plan doesn't deepen unboundedly
             labels = labels.localCheckpoint(eager=True)
-    return (labels.groupBy(F.col("label").alias("component"))
+    return labels
+
+
+def connected_components(edges: DataFrame, iterations: int = 6,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Component rollup of cc_labels: (component = the k-hop min label,
+    n_nodes, min_node) — grouping the near-dup PAIR output of the LSH
+    families into retention clusters. Deterministic for any k (see module
+    docstring); equals true connected components when k >= diameter."""
+    return (cc_labels(edges, iterations, src, dst)
+            .groupBy(F.col("label").alias("component"))
             .agg(F.count("*").alias("n_nodes"),
                  F.min("node").alias("min_node")))
+
+
+def cc_labels_sql(edges_sql: str, iterations: int = 6) -> str:
+    """DuckDB oracle for cc_labels: the same k rounds unrolled, final select
+    is the per-node (node, label) table."""
+    cte = connected_components_sql(edges_sql, iterations)
+    head, _, _ = cte.rpartition("\nSELECT")
+    return head + f"\nSELECT node, label FROM l{iterations}"
 
 
 def connected_components_sql(edges_sql: str, iterations: int = 6) -> str:

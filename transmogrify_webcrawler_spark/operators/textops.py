@@ -330,3 +330,67 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
          .cast("long").alias("n_tokens_re"),
         F.ceil(non_space / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
     )
+
+
+# ---- deterministic corpus split + dedup retention ---------------------------
+
+# lexicographic thresholds over the first 8 hex chars of md5(key): lowercase
+# fixed-width hex compares identically to its numeric value, and both Spark
+# and DuckDB emit lowercase hex — so the split is exact cross-engine string
+# comparison, no hex->int conversion (which the engines spell differently)
+_SPLIT_BOUNDS = (("train", "e6666666"), ("val", "f3333333"))  # 90 / 5 / 5
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by md5 of the salted
+    doc id. Content-independent and stable across runs/engines/cluster
+    sizes — the property a reproducible training-data pipeline needs from
+    its split (no sampling, no RNG state). Change `salt` to draw a fresh
+    independent split."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary")), 1, 8)
+    split = F.when(h < _SPLIT_BOUNDS[0][1], _SPLIT_BOUNDS[0][0]) \
+             .when(h < _SPLIT_BOUNDS[1][1], _SPLIT_BOUNDS[1][0]) \
+             .otherwise("test")
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       h.alias("h8"), split.alias("split"))
+
+
+def hash_split_sql(docs_sql: str, id_col: str = "doc_id",
+                   salt: str = "split-v1") -> str:
+    """DuckDB oracle for hash_split — the identical string comparison."""
+    h = f"substring(md5('{salt}:' || {id_col}), 1, 8)"
+    return (
+        f"SELECT {id_col} AS doc_id, {h} AS h8,\n"
+        f"       CASE WHEN {h} < '{_SPLIT_BOUNDS[0][1]}'"
+        f" THEN '{_SPLIT_BOUNDS[0][0]}'\n"
+        f"            WHEN {h} < '{_SPLIT_BOUNDS[1][1]}'"
+        f" THEN '{_SPLIT_BOUNDS[1][0]}'\n"
+        f"            ELSE 'test' END AS split\n"
+        f"FROM ({docs_sql})"
+    )
+
+
+def dedup_retention(docs: DataFrame, pairs: DataFrame, iterations: int = 6,
+                    id_col: str = "doc_id",
+                    a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Pairs -> clusters -> keep/drop: the end of the dedup pipeline. Joins
+    each document against its near-dup cluster label (graph.cc_labels over
+    the pair graph); the label IS the canonical doc (cluster-min id), so
+    keep = "this doc is its own canonical". Docs in no pair keep themselves.
+    Returns (doc_id, canonical_id, keep) — the skinny decision table a
+    100 TB retention pass joins back against the corpus."""
+    from .graph import cc_labels
+
+    labels = cc_labels(pairs, iterations, src=a_col, dst=b_col)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        d.join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_id"),
+            (F.coalesce("label", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
