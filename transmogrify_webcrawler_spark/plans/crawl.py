@@ -120,6 +120,9 @@ class SparkCrawlConfig:
     # 32 MB advisory, so skinny state tables still run few tasks.
     shuffle_initial_partitions: int = 512
     n_buckets: int = 16  # bucket(registered_domain) for table layout
+    # store parquet codec; lz4_raw measured ~12% faster crawl wall than
+    # snappy on commit-encode-bound waves (BENCH/BASELINE.md round-5 A/B)
+    parquet_codec: str = "lz4_raw"
     # Arrow transfer granularity for the fat html column. Measured on the
     # 50k x ~240KB-page corpus (extraction pass, local[32]): batch 64 beats
     # 256 by ~13% and the old 2048 default would put ~50 MB per batch in
@@ -273,7 +276,7 @@ class SparkCrawler:
                  cfg: SparkCrawlConfig):
         self.spark = spark
         self.cfg = cfg
-        self.store = SnapshotStore(store_path)
+        self.store = SnapshotStore(store_path, compression=cfg.parquet_codec)
         self.timings: list[dict] = []  # per-wave step wall times (lineage)
         self.write_timings: list[dict] = []  # per-table commit write times
         self._winners: DataFrame | None = None  # pinned dedup dim (skinny)

@@ -58,8 +58,15 @@ def _footer_row_count(data_dir: str) -> int:
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    # lz4_raw over the snappy session default: commit IO is ~60% of crawl
+    # wall (DEBUG breakdown) and parquet encode CPU dominates it; same-
+    # session A/B (ENGINE shape, sf0.1, median-of-3, BENCH/BASELINE.md
+    # round 5) measured 60.9 -> 53.5 s crawl wall. Set explicitly on the
+    # store's writers so the shipped engine and the bench measure the same
+    # thing regardless of session conf.
+    def __init__(self, root: str, compression: str = "lz4_raw"):
         self.root = root
+        self.compression = compression
         os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -151,7 +158,8 @@ class SnapshotStore:
             sk = (sort_keys or {}).get(name)
             if sk:  # Iceberg sortedBy rendered as sortWithinPartitions
                 writer = writer.sortWithinPartitions(*sk)
-            writer.write.mode("overwrite").parquet(out)
+            writer.write.mode("overwrite") \
+                .option("compression", self.compression).parquet(out)
             self.last_write_counts[name] = _footer_row_count(out)
             self.last_write_times[name] = round(_time.time() - _t0, 3)
             return [(name, rel)]
@@ -169,7 +177,9 @@ class SnapshotStore:
                 ]).withColumn("_table", F.lit(name))
                 union = harmonized if union is None \
                     else union.unionByName(harmonized)
-            union.write.mode("overwrite").partitionBy("_table").parquet(gout)
+            union.write.mode("overwrite") \
+                .option("compression", self.compression) \
+                .partitionBy("_table").parquet(gout)
             out_rels = []
             for name, df in group.items():
                 rel = os.path.join("data", name, f"wave={wave:06d}")
