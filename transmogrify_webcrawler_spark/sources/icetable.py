@@ -273,9 +273,28 @@ class SnapshotStore:
         return _WriterV2()
 
     # -- read ---------------------------------------------------------------
+    def manifest_at(self, wave: int) -> dict | None:
+        """The published manifest for a specific wave (None if that wave
+        never published). Snapshots are immutable once the pointer flip has
+        happened, so this is Iceberg-style time travel: any historical wave
+        remains readable with full consistency while new waves commit."""
+        p = os.path.join(self.root, "_snapshots", f"v{wave:06d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def read(self, spark: SparkSession, name: str,
-             schema: StructType | None = None) -> DataFrame:
-        m = self.current_manifest()
+             schema: StructType | None = None,
+             as_of_wave: int | None = None) -> DataFrame:
+        """Read a table at the CURRENT snapshot, or — time travel — at the
+        snapshot a given wave published (`as_of_wave`)."""
+        if as_of_wave is not None:
+            m = self.manifest_at(as_of_wave)
+            if m is None:
+                raise KeyError(f"no snapshot published at wave {as_of_wave}")
+        else:
+            m = self.current_manifest()
         dirs = (m or {"tables": {}})["tables"].get(name, [])
         paths = [os.path.join(self.root, d) for d in dirs]
         if not paths:
@@ -290,6 +309,36 @@ class SnapshotStore:
         cols = (m or {}).get("table_columns", {}).get(name)
         if cols:  # grouped snapshot files carry the union schema — project
             df = df.select(*cols)  # back to the table's true column list
+        return df
+
+    def read_changes(self, spark: SparkSession, name: str,
+                     from_wave: int, to_wave: int) -> DataFrame:
+        """Incremental read: the rows an append-only table gained AFTER
+        `from_wave`'s snapshot, up to and including `to_wave`'s — the data
+        dirs present in the later manifest but not the earlier one. This is
+        the CDC primitive a downstream pipeline tails instead of rescanning
+        the table (at 100 TB, reading only the new wave dirs is the
+        difference between a streaming consumer and a full-table job).
+        Raises on replace-style tables (their dirs are rewritten, not
+        appended — a diff would be meaningless)."""
+        m_from = self.manifest_at(from_wave)
+        m_to = self.manifest_at(to_wave)
+        if m_from is None or m_to is None:
+            raise KeyError(f"missing snapshot: {from_wave} or {to_wave}")
+        old = set(m_from["tables"].get(name, []))
+        new_dirs = [d for d in m_to["tables"].get(name, []) if d not in old]
+        if not set(m_from["tables"].get(name, [])) <= \
+                set(m_to["tables"].get(name, [])):
+            raise ValueError(
+                f"table {name} was replaced between waves {from_wave} and "
+                f"{to_wave}; incremental diff is only defined for appends")
+        if not new_dirs:
+            return self.read(spark, name, as_of_wave=to_wave).limit(0)
+        df = spark.read.parquet(
+            *[os.path.join(self.root, d) for d in new_dirs])
+        cols = m_to.get("table_columns", {}).get(name)
+        if cols:
+            df = df.select(*cols)
         return df
 
     def read_blob(self, name: str) -> bytes | None:
