@@ -51,3 +51,39 @@ def test_incremental_read_rejects_replaced_tables(spark, store3):
     last = store3.current_wave()
     with pytest.raises(ValueError):
         store3.read_changes(spark, "t", 0, last)
+
+
+def test_expire_keeps_append_data_but_drops_old_manifests(spark, store3):
+    res = store3.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 2
+    # append dirs are all still referenced by the retained manifest: no
+    # data loss, current read intact
+    assert res["removed_dirs"] == 0
+    assert _vals(store3.read(spark, "t")) == list(range(30))
+    with pytest.raises(KeyError):
+        store3.read(spark, "t", as_of_wave=0)
+
+
+def test_expire_reclaims_replaced_dirs_and_stale_blobs(spark, tmp_path):
+    import os
+    store = SnapshotStore(str(tmp_path / "store"))
+    for w in range(3):
+        df = spark.range(w * 5, w * 5 + 5).withColumnRenamed("id", "v")
+        store.commit_wave(w, appends={}, replaces={"r": df},
+                          blobs={"bloom": bytes([w]) * 8})
+    res = store.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 2
+    assert res["removed_dirs"] == 2  # the two superseded replace dirs
+    assert res["removed_blobs"] == 2
+    assert _vals(store.read(spark, "r")) == list(range(10, 15))
+    assert store.read_blob("bloom") == bytes([2]) * 8
+    waves = os.listdir(os.path.join(store.root, "data", "r"))
+    assert waves == ["wave=000002"]
+
+
+def test_expire_never_touches_inflight_commit_dirs(spark, store3):
+    import os
+    inflight = os.path.join(store3.root, "data", "t", "wave=000099")
+    os.makedirs(inflight)
+    store3.expire_snapshots(keep_last=1)
+    assert os.path.isdir(inflight)

@@ -341,6 +341,72 @@ class SnapshotStore:
             df = df.select(*cols)
         return df
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg's expire_snapshots + remove_orphan_files for this
+        fallback store: drop all but the newest `keep_last` published
+        manifests (the CURRENT pointer always survives — it names the max
+        wave) and delete every data dir / blob file no retained manifest
+        references. Time travel stays valid inside the retention window;
+        outside it, `read(as_of_wave=...)` raises. Bounds the store's disk
+        at long crawl lengths — without it every wave's dirs live forever.
+
+        Safety: only dirs/blobs whose wave number is <= the CURRENT wave
+        are eligible — a concurrent commit's freshly-written, not-yet-
+        published dirs (wave N+1) are never treated as orphans, preserving
+        write-all-then-flip atomicity.
+        """
+        snap_dir = os.path.join(self.root, "_snapshots")
+        snaps = sorted(f for f in os.listdir(snap_dir)
+                       if f.startswith("v") and f.endswith(".json"))
+        keep = set(snaps[-max(keep_last, 1):])
+        current = None
+        if os.path.exists(self._current_path()):
+            with open(self._current_path()) as f:
+                current = f.read().strip()
+            keep.add(current)
+        current_wave = self.current_wave()
+        referenced_dirs: set[str] = set()
+        referenced_blobs: set[str] = set()
+        for version in keep:
+            with open(os.path.join(snap_dir, version)) as f:
+                m = json.load(f)
+            for rels in m.get("tables", {}).values():
+                referenced_dirs.update(rels)
+            referenced_blobs.update(m.get("blobs", {}).values())
+        expired = [s for s in snaps if s not in keep]
+        for s in expired:
+            os.remove(os.path.join(snap_dir, s))
+
+        def _wave_of(entry: str) -> int | None:
+            if entry.startswith("wave="):
+                return int(entry.split("=", 1)[1])
+            if ".wave" in entry and entry.endswith(".bin"):
+                return int(entry.rsplit(".wave", 1)[1][:-4])
+            return None
+
+        removed_dirs = removed_blobs = 0
+        data_root = os.path.join(self.root, "data")
+        for name in os.listdir(data_root):
+            tdir = os.path.join(data_root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                rel = os.path.join("data", name, entry)
+                w = _wave_of(entry)
+                if w is None or w > current_wave:
+                    continue  # unknown layout or in-flight commit: keep
+                if name == "_blobs":
+                    if rel not in referenced_blobs:
+                        os.remove(os.path.join(tdir, entry))
+                        removed_blobs += 1
+                elif rel not in referenced_dirs:
+                    shutil.rmtree(os.path.join(tdir, entry),
+                                  ignore_errors=True)
+                    removed_dirs += 1
+        return {"expired_manifests": len(expired),
+                "removed_dirs": removed_dirs,
+                "removed_blobs": removed_blobs}
+
     def read_blob(self, name: str) -> bytes | None:
         m = self.current_manifest()
         rel = (m or {}).get("blobs", {}).get(name)
