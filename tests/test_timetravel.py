@@ -87,3 +87,32 @@ def test_expire_never_touches_inflight_commit_dirs(spark, store3):
     os.makedirs(inflight)
     store3.expire_snapshots(keep_last=1)
     assert os.path.isdir(inflight)
+
+
+def test_crawl_with_expiry_matches_and_bounds_manifests(
+        spark, pages_df, corpus, tmp_path):
+    """expire_keep_last=1 during a real crawl: identical final table to the
+    default full-history run, and the store retains exactly one manifest."""
+    import os
+    from transmogrify_webcrawler_spark.plans.crawl import (
+        SparkCrawlConfig, SparkCrawler,
+    )
+
+    def run(store, **kw):
+        cfg = SparkCrawlConfig(wave_size=50, per_domain_budget=20,
+                               maxsize=64 * 1024, ignore=corpus["ignore"],
+                               n_bloom_shards=8, n_salts=4,
+                               bloom_compact_every=2, **kw)
+        out = SparkCrawler(spark, store, cfg).run(
+            pages_df, corpus["seeds"])
+        return sorted((r["url_canon"], r["extracted_text"], r["sortorder"])
+                      for r in out.collect())
+
+    base = run(str(tmp_path / "s_keep"))
+    expired = run(str(tmp_path / "s_expire"), expire_keep_last=1)
+    assert base == expired
+    snaps = os.listdir(os.path.join(str(tmp_path / "s_expire"),
+                                    "_snapshots"))
+    assert len(snaps) == 1
+    full = os.listdir(os.path.join(str(tmp_path / "s_keep"), "_snapshots"))
+    assert len(full) > 1

@@ -123,6 +123,11 @@ class SparkCrawlConfig:
     # store parquet codec; lz4_raw measured ~12% faster crawl wall than
     # snappy on commit-encode-bound waves (BENCH/BASELINE.md round-5 A/B)
     parquet_codec: str = "lz4_raw"
+    # >0: expire all but the newest K snapshots after each commit,
+    # reclaiming superseded frontier/bloom replace dirs (disk otherwise
+    # grows linearly with waves). 0 (default) retains full time-travel
+    # history. Resume only ever reads CURRENT, so any K >= 1 is safe.
+    expire_keep_last: int = 0
     # Arrow transfer granularity for the fat html column. Measured on the
     # 50k x ~240KB-page corpus (extraction pass, local[32]): batch 64 beats
     # 256 by ~13% and the old 2048 default would put ~50 MB per batch in
@@ -907,6 +912,11 @@ class SparkCrawler:
         )
         self.write_timings.append(
             dict(wave=wave, **self.store.last_write_times))
+        if cfg.expire_keep_last > 0:
+            # driver-side metadata/file ops only (no Spark job); reclaims
+            # superseded replace dirs — frontier and compacted bloom-shard
+            # snapshots — which otherwise grow disk linearly with waves
+            self.store.expire_snapshots(keep_last=cfg.expire_keep_last)
         return manifest
 
     def _wave_loop_pipelined(self, wave: int, pages_prepared: DataFrame,
