@@ -168,3 +168,30 @@ def test_robots_dim_is_broadcast(spark):
 
     df = harness.q_fetch_join(spark, "/root/testdata/sf0.001")
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_pagerank_plan_no_cartesian_and_reuses_cached_edges(spark):
+    """The iterative joins must stay equi-joins (no cartesian blowup) and
+    every iteration must read the edge table from cache, not re-derive it
+    from the source — the shape that makes the fat side shuffle once."""
+    from transmogrify_webcrawler_spark.operators.graph import pagerank_fixed
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(150)], "src long, dst long")
+    plan = _plan(pagerank_fixed(e, iterations=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # iterations hit the cached edges
+
+
+def test_cc_plan_no_cartesian_and_reuses_cached_closure(spark):
+    from transmogrify_webcrawler_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long")
+    plan = _plan(connected_components(e, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
