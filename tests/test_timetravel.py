@@ -116,3 +116,48 @@ def test_crawl_with_expiry_matches_and_bounds_manifests(
     assert len(snaps) == 1
     full = os.listdir(os.path.join(str(tmp_path / "s_keep"), "_snapshots"))
     assert len(full) > 1
+
+
+def test_snapshot_tail_delivers_each_wave_exactly_once(spark, tmp_path):
+    from transmogrify_webcrawler_spark.streaming.tail import SnapshotTail
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    off = str(tmp_path / "offsets.json")
+    for w in range(3):
+        store.writeTo("t").append(
+            spark.range(w * 10, w * 10 + 10).withColumnRenamed("id", "v"))
+    tail = SnapshotTail(store, "t", off)
+    df, to_wave, resync = tail.poll(spark)
+    assert _vals(df) == list(range(30)) and not resync
+    # at-least-once: uncommitted poll re-delivers (restart simulation)
+    df2, _, _ = SnapshotTail(store, "t", off).poll(spark)
+    assert _vals(df2) == list(range(30))
+    tail.commit(to_wave)
+    assert tail.poll(spark) == (None, to_wave, False)
+    store.writeTo("t").append(
+        spark.range(100, 105).withColumnRenamed("id", "v"))
+    df3, w3, resync3 = tail.poll(spark)
+    assert _vals(df3) == list(range(100, 105)) and not resync3
+    tail.commit(w3)
+    assert tail.poll(spark)[0] is None
+
+
+def test_snapshot_tail_resyncs_after_offset_expired(spark, tmp_path):
+    from transmogrify_webcrawler_spark.streaming.tail import SnapshotTail
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    off = str(tmp_path / "offsets.json")
+    store.writeTo("t").append(
+        spark.range(5).withColumnRenamed("id", "v"))
+    tail = SnapshotTail(store, "t", off)
+    _, w, _ = tail.poll(spark)
+    tail.commit(w)
+    for i in range(1, 4):
+        store.writeTo("t").append(
+            spark.range(i * 5, i * 5 + 5).withColumnRenamed("id", "v"))
+    store.expire_snapshots(keep_last=1)  # offset manifest now gone
+    df, w2, resync = tail.poll(spark)
+    assert resync is True  # over-delivery: full snapshot, rows never lost
+    assert _vals(df) == list(range(20))
+    tail.commit(w2)
+    assert tail.poll(spark)[0] is None
