@@ -54,6 +54,13 @@ def main():
                    default="full",
                    help="skinny = never pin page bodies; re-scan the "
                         "corpus each wave (the 100 TB configuration)")
+    p.add_argument("--parquet-codec", default="lz4_raw",
+                   help="store parquet compression (lz4_raw measured "
+                        "fastest on commit-encode-bound waves)")
+    p.add_argument("--expire-keep-last", type=int, default=0,
+                   help=">0: expire all but the newest K snapshots after "
+                        "each commit (bounds store disk; 0 keeps full "
+                        "time-travel history)")
     p.add_argument("--out", help="optional parquet path for the final "
                                  "crawled+backlinks table")
     args = p.parse_args()
@@ -68,7 +75,9 @@ def main():
         wave_size=args.wave_size, per_domain_budget=args.per_domain_budget,
         max_pages=args.max_pages, maxsize=args.maxsize, max_waves=args.waves,
         ignore=tuple(args.ignore), use_bloom=not args.no_bloom,
-        fetch_mode=args.fetch_mode, cache_corpus=args.cache_corpus)
+        fetch_mode=args.fetch_mode, cache_corpus=args.cache_corpus,
+        parquet_codec=args.parquet_codec,
+        expire_keep_last=args.expire_keep_last)
     crawler = SparkCrawler(spark, args.store, cfg)
     t0 = time.time()
     out = crawler.run(spark.read.parquet(args.pages), args.seeds)
