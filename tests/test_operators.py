@@ -506,3 +506,60 @@ def test_png_resize_pixel_true():
     shell = payload[:33]  # signature + IHDR only
     fb = resize_image_bytes(shell, 7, 9)
     assert image_dimensions(fb) == (7, 9) and len(fb) == len(shell)
+
+
+def _ebml_elem(eid_bytes: bytes, body: bytes) -> bytes:
+    assert len(body) < 127
+    return eid_bytes + bytes([0x80 | len(body)]) + body
+
+
+def test_webm_duration_decodes_synthesized_ebml():
+    import struct
+
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        webm_duration,
+    )
+
+    # Info{TimestampScale=1e6 ns, Duration=12500.0 ticks} -> 12.5 s
+    info_body = (
+        _ebml_elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(b"\x44\x89", struct.pack(">d", 12500.0)))
+    segment_body = _ebml_elem(b"\x15\x49\xa9\x66", info_body)
+    doc = (_ebml_elem(b"\x1a\x45\xdf\xa3", b"webm")
+           + _ebml_elem(b"\x18\x53\x80\x67", segment_body))
+    assert webm_duration(doc) == 12.5
+    # 4-byte float duration and a non-default scale (2e6 ns/tick)
+    info2 = (_ebml_elem(b"\x2a\xd7\xb1", (2_000_000).to_bytes(3, "big"))
+             + _ebml_elem(b"\x44\x89", struct.pack(">f", 500.0)))
+    doc2 = (_ebml_elem(b"\x1a\x45\xdf\xa3", b"webm")
+            + _ebml_elem(b"\x18\x53\x80\x67",
+                         _ebml_elem(b"\x15\x49\xa9\x66", info2)))
+    assert webm_duration(doc2) == 1.0
+    # rejects: wrong magic, truncated, missing Info
+    assert webm_duration(b"\x00\x00\x00\x18ftyp") is None
+    assert webm_duration(doc[:10]) is None
+    assert webm_duration(
+        _ebml_elem(b"\x1a\x45\xdf\xa3", b"webm")
+        + _ebml_elem(b"\x18\x53\x80\x67", b"")) is None
+
+
+def test_webm_sniff_and_meta_dispatch(spark):
+    import struct
+
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+    from transmogrify_webcrawler_spark.oracle.extract import sniff_mimetype
+
+    info_body = (
+        _ebml_elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(b"\x44\x89", struct.pack(">d", 3000.0)))
+    doc = (_ebml_elem(b"\x1a\x45\xdf\xa3", b"webm")
+           + _ebml_elem(b"\x18\x53\x80\x67",
+                        _ebml_elem(b"\x15\x49\xa9\x66", info_body)))
+    assert sniff_mimetype(doc, "") == "video/webm"
+    df = spark.createDataFrame([(1, bytearray(doc))],
+                               "media_id long, payload binary")
+    row = extract_media_meta(df).collect()[0]
+    assert row["mimetype"] == "video/webm"
+    assert row["duration_s"] == 3.0

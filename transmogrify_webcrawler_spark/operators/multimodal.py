@@ -201,6 +201,84 @@ def mp4_duration(payload: bytes) -> float | None:
     return duration / timescale
 
 
+def _ebml_vint(b: bytes, i: int, keep_marker: bool) -> tuple[int, int] | None:
+    """EBML variable-length integer at offset i -> (value, byte length).
+    Element IDs keep the length-marker bit (they are matched with it, per
+    the spec); sizes clear it."""
+    if i >= len(b) or b[i] == 0:
+        return None
+    length = 9 - b[i].bit_length()
+    if i + length > len(b):
+        return None
+    val = b[i] if keep_marker else b[i] & ((1 << (8 - length)) - 1)
+    for j in range(1, length):
+        val = (val << 8) | b[i + j]
+    return val, length
+
+
+def webm_duration(payload: bytes) -> float | None:
+    """REAL WebM/Matroska duration, zero dependencies: EBML walk to
+    Segment (0x18538067) -> Info (0x1549A966), then read TimestampScale
+    (0x2AD7B1, ns per tick, default 1,000,000) and Duration (0x4489, an
+    IEEE float in ticks). duration_s = Duration * scale / 1e9 — the same
+    number mkvinfo reports. Unknown-size elements (all size bits set, how
+    live-muxed streams write Segment) clamp to the enclosing scope."""
+    import struct
+
+    b = payload
+    if not b.startswith(b"\x1a\x45\xdf\xa3"):
+        return None
+
+    def walk(lo: int, hi: int, target: int) -> tuple[int, int] | None:
+        i = lo
+        while i < hi:
+            head = _ebml_vint(b, i, True)
+            if head is None:
+                return None
+            eid, idl = head
+            sz = _ebml_vint(b, i + idl, False)
+            if sz is None:
+                return None
+            size, szl = sz
+            body = i + idl + szl
+            if body + size > hi:  # unknown/overlong size: clamp to scope
+                size = hi - body
+            if eid == target:
+                return body, body + size
+            i = body + size
+        return None
+
+    seg = walk(0, len(b), 0x18538067)
+    if seg is None:
+        return None
+    info = walk(seg[0], seg[1], 0x1549A966)
+    if info is None:
+        return None
+    scale, dur = 1_000_000, None
+    i, hi = info
+    while i < hi:
+        head = _ebml_vint(b, i, True)
+        if head is None:
+            break
+        eid, idl = head
+        sz = _ebml_vint(b, i + idl, False)
+        if sz is None:
+            break
+        size, szl = sz
+        body = i + idl + szl
+        if body + size > hi:
+            break
+        if eid == 0x2AD7B1:
+            scale = int.from_bytes(b[body:body + size], "big")
+        elif eid == 0x4489 and size in (4, 8):
+            dur = struct.unpack(">f" if size == 4 else ">d",
+                                b[body:body + size])[0]
+        i = body + size
+    if dur is None or dur < 0 or scale == 0:
+        return None
+    return dur * scale / 1e9
+
+
 def _decode(payload: bytes, mimetype: str) -> dict:
     """Image dimensions and WAV/MP3/MP4 durations are parsed for REAL from
     the raw bytes (image_dimensions / wav_duration / mp3_duration_estimate
@@ -227,6 +305,9 @@ def _decode(payload: bytes, mimetype: str) -> dict:
     if mimetype == "video/mp4":
         return dict(width=None, height=None,
                     duration_s=mp4_duration(payload), feature=feature)
+    if mimetype == "video/webm":
+        return dict(width=None, height=None,
+                    duration_s=webm_duration(payload), feature=feature)
     if mimetype.startswith(("audio/", "video/")):
         return dict(width=None, height=None,
                     duration_s=None,  # STUB: needs a real demuxer

@@ -166,6 +166,9 @@ _MAGIC = [
     # raw MPEG audio frame sync (no ID3 tag): 11 set bits + version/layer
     (b"\xff\xfb", "audio/mpeg"), (b"\xff\xfa", "audio/mpeg"),
     (b"\xff\xf3", "audio/mpeg"), (b"\xff\xf2", "audio/mpeg"),
+    # EBML magic (Matroska/WebM family); DocType disambiguation happens in
+    # the decoder — the crawl gate only needs the container family
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
 ]
 
 _EXT_MAP = {
