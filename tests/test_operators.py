@@ -563,3 +563,48 @@ def test_webm_sniff_and_meta_dispatch(spark):
     row = extract_media_meta(df).collect()[0]
     assert row["mimetype"] == "video/webm"
     assert row["duration_s"] == 3.0
+
+
+def _ogg_page(granulepos: int, payload: bytes, first: bool = False) -> bytes:
+    import struct
+    header = (b"OggS" + b"\x00"
+              + (b"\x02" if first else b"\x04")
+              + struct.pack("<Q", granulepos & 0xFFFFFFFFFFFFFFFF)
+              + b"\x01\x00\x00\x00"      # serial
+              + b"\x00\x00\x00\x00"      # page seq
+              + b"\x00\x00\x00\x00"      # crc (unchecked by our parser)
+              + bytes([1, len(payload)]))  # 1 segment
+    return header + payload
+
+
+def test_ogg_duration_opus_and_vorbis():
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        ogg_duration,
+    )
+
+    # Opus: granulepos pinned to 48 kHz, pre-skip 312 samples
+    opus_head = b"OpusHead" + b"\x01\x02" + (312).to_bytes(2, "little") \
+        + b"\x00" * 8
+    doc = _ogg_page(0, opus_head, first=True) \
+        + _ogg_page(48000 + 312, b"\x00")
+    assert ogg_duration(doc) == 1.0
+    # Vorbis: rate read from the ID header (22050 Hz)
+    vorbis_head = b"\x01vorbis" + b"\x00\x00\x00\x00" + b"\x02" \
+        + (22050).to_bytes(4, "little") + b"\x00" * 8
+    doc2 = _ogg_page(0, vorbis_head, first=True) \
+        + _ogg_page(44100, b"\x00")
+    assert ogg_duration(doc2) == 2.0
+    # -1 granule on the tail page falls back to the previous page
+    doc3 = doc2 + _ogg_page(-1 & 0xFFFFFFFFFFFFFFFF, b"\x00")
+    assert ogg_duration(doc3) == 2.0
+    # unknown codec payload -> None, wrong magic -> None
+    assert ogg_duration(_ogg_page(0, b"theora!!", first=True)) is None
+    assert ogg_duration(b"RIFFxxxx") is None
+
+
+def test_ogg_sniff_dispatch():
+    from transmogrify_webcrawler_spark.oracle.extract import sniff_mimetype
+
+    opus_head = b"OpusHead" + b"\x01\x02" + (0).to_bytes(2, "little")
+    doc = _ogg_page(0, opus_head, first=True)
+    assert sniff_mimetype(doc, "") == "audio/ogg"

@@ -279,6 +279,38 @@ def webm_duration(payload: bytes) -> float | None:
     return dur * scale / 1e9
 
 
+def ogg_duration(payload: bytes) -> float | None:
+    """REAL Ogg duration, zero dependencies: the container timestamps pages
+    with an absolute granule position, so duration = last page's granulepos
+    over the stream's granule rate. The rate is codec-specific, read from
+    the FIRST page's identification header: Opus granules are pinned to
+    48 kHz by spec (minus the pre-skip samples); Vorbis carries its sample
+    rate at byte 12 of the '\\x01vorbis' header. Other Ogg payloads
+    (Theora, FLAC-in-Ogg) return None rather than guessing."""
+    b = payload
+    if not b.startswith(b"OggS") or len(b) < 28:
+        return None
+    # first page payload starts after the 27-byte header + segment table
+    nsegs = b[26]
+    head = b[27 + nsegs:27 + nsegs + 64]
+    rate, pre_skip = None, 0
+    if head.startswith(b"OpusHead") and len(head) >= 12:
+        rate = 48000  # per RFC 7845 granulepos is ALWAYS 48 kHz for Opus
+        pre_skip = int.from_bytes(head[10:12], "little")
+    elif head.startswith(b"\x01vorbis") and len(head) >= 16:
+        rate = int.from_bytes(head[12:16], "little")
+    if not rate:
+        return None
+    last = b.rfind(b"OggS")
+    while last > 0:
+        gp = int.from_bytes(b[last + 6:last + 14], "little")
+        if gp != 0xFFFFFFFFFFFFFFFF:  # -1 marks a page with no granule
+            samples = gp - pre_skip
+            return samples / rate if samples >= 0 else None
+        last = b.rfind(b"OggS", 0, last)
+    return None
+
+
 def _decode(payload: bytes, mimetype: str) -> dict:
     """Image dimensions and WAV/MP3/MP4 durations are parsed for REAL from
     the raw bytes (image_dimensions / wav_duration / mp3_duration_estimate
@@ -308,6 +340,9 @@ def _decode(payload: bytes, mimetype: str) -> dict:
     if mimetype == "video/webm":
         return dict(width=None, height=None,
                     duration_s=webm_duration(payload), feature=feature)
+    if mimetype == "audio/ogg":
+        return dict(width=None, height=None,
+                    duration_s=ogg_duration(payload), feature=feature)
     if mimetype.startswith(("audio/", "video/")):
         return dict(width=None, height=None,
                     duration_s=None,  # STUB: needs a real demuxer

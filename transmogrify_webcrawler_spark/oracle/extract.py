@@ -169,6 +169,7 @@ _MAGIC = [
     # EBML magic (Matroska/WebM family); DocType disambiguation happens in
     # the decoder — the crawl gate only needs the container family
     (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"OggS", "audio/ogg"),
 ]
 
 _EXT_MAP = {
