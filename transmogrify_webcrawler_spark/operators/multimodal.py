@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns with
 typed metadata (the brief's multimodal requirement).
 
-IMAGE DIMENSIONS AND WAV/MP3/MP4 DURATIONS ARE REAL: PNG IHDR, JPEG SOF
+IMAGE DIMENSIONS AND ALL CONTAINER DURATIONS ARE REAL: PNG IHDR, JPEG SOF
 marker walk, GIF logical screen descriptor, the RIFF/WAVE fmt+data chunk
-walk, the MPEG audio frame header, and the ISO-BMFF box walk to moov/mvhd
-are parsed straight from the payload bytes (these containers put the
-needed fields at fixed header positions — no media library needed, none
-is installed in this container). Still stubbed, clearly marked: other
-audio/video container duration (MKV/WebM/OGG need a real demuxer) and the
-8-byte `feature` (stands in for an embedding model). Every Spark-side piece is real and
+walk, the MPEG audio frame header, the ISO-BMFF box walk to moov/mvhd,
+the EBML walk to Segment/Info (WebM/Matroska), and the Ogg granulepos
+read (Opus/Vorbis) are parsed straight from the payload bytes (these
+containers put the needed fields at fixed or walkable positions — no
+media library needed, none is installed in this container). The ONE
+remaining stub, clearly marked: the 8-byte `feature` (stands in for an
+embedding model's output). Every Spark-side piece is real and
 tested: the schema contract, the mapInPandas iterator shape, Arrow batch
 sizing for fat binary columns, and the partitioning story (repartition on a
 content-hash so giant media files spread evenly).
@@ -312,11 +313,12 @@ def ogg_duration(payload: bytes) -> float | None:
 
 
 def _decode(payload: bytes, mimetype: str) -> dict:
-    """Image dimensions and WAV/MP3/MP4 durations are parsed for REAL from
-    the raw bytes (image_dimensions / wav_duration / mp3_duration_estimate
-    / mp4_duration above). STUBS, clearly marked: other audio/video
-    container duration (a real deployment plugs an ffprobe-style demuxer
-    here — None keeps the gap visible) and the 8-byte feature (stands in
+    """Image dimensions and WAV/MP3/MP4/WebM/Ogg durations are parsed for
+    REAL from the raw bytes (image_dimensions / wav_duration /
+    mp3_duration_estimate / mp4_duration / webm_duration / ogg_duration
+    above); the audio/video fallback below returns None only for container
+    types the sniffer cannot even name. The ONE stub, clearly marked: the
+    8-byte feature (stands in
     for an embedding model's output; capped byte-sum — the first 4 KiB is
     plenty for a throwaway value and giant media blobs must not be walked
     per byte in the hot path). Raises for genuinely unsupported types,
