@@ -37,3 +37,60 @@ def test_dedup_retention_decisions(spark):
            for r in dedup_retention(docs, pairs, iterations=4).collect()}
     assert out == {0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
                    4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True)}
+
+
+def test_gopher_quality_signals(spark):
+    good = ("the quick brown fox jumps over the lazy dog and runs to a "
+            "house in the field that it likes for dinner ") * 3
+    bullets = "- one\n- two\n- three\n- four"
+    dups = "same line\nsame line\nsame line\nother"
+    symbols = "# # # # hash ... tail"
+    docs = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, dups), (3, symbols), (4, "")],
+        "doc_id long, text string")
+    from transmogrify_webcrawler_spark.operators.textops import gopher_quality
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert out[0]["passes_gopher"] is True
+    assert out[0]["n_stopwords"] >= 2
+    assert out[1]["frac_bullet_lines"] == 1.0
+    assert out[1]["passes_gopher"] is False
+    assert out[2]["frac_dup_lines"] == 0.5  # 2 of 4 lines are repeats
+    assert out[2]["frac_dup_line_chars"] > 0.5
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["n_words"] == 0 and out[4]["passes_gopher"] is False
+
+
+def test_repetition_stats_counts(spark):
+    # "a b a b a b" -> 2-grams: [a b, b a, a b, b a, a b] = 5 grams,
+    # top (a b)=3, all 5 are duplicated grams
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "w x y z"), (2, "solo")],
+        "doc_id long, text string")
+    from transmogrify_webcrawler_spark.operators.textops import (
+        repetition_stats)
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(docs, n=2).collect()}
+    assert out[0]["n_grams"] == 5
+    assert out[0]["top_gram_frac"] == 0.6
+    assert out[0]["dup_gram_frac"] == 1.0
+    assert out[1] == {"doc_id": 1, "n_grams": 3, "top_gram_frac": 0.3333,
+                      "dup_gram_frac": 0.0, "dup_char_frac": 0.0}
+    assert out[2]["n_grams"] == 0  # < n words -> zero grams, still a row
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    clean_text = "one two three four five six seven"
+    leaked_text = bench_text + " extra tail words here"
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, clean_text), (2, leaked_text)],
+        "doc_id long, text string")
+    from transmogrify_webcrawler_spark.operators.textops import decontaminate
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(docs, bench_mod=20, shingle_n=3,
+                                  frac_threshold=0.5).collect()}
+    assert 0 not in out  # benchmark docs are not scored
+    assert out[1]["n_contaminated"] == 0
+    assert out[1]["is_contaminated"] is False
+    assert out[2]["n_contaminated"] == 4  # the 4 shingles inside bench_text
+    assert out[2]["is_contaminated"] is True

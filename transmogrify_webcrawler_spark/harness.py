@@ -555,6 +555,190 @@ FROM documents
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    from .operators.textops import gopher_quality
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, ws, lines,
+         len(ws) AS n_words,
+         len(lines) AS n_lines,
+         list_distinct(lines) AS dlines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+             AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          l -> length(l))), 0) AS dline_chars,
+         CASE WHEN len(ws) > 0 THEN
+           list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+         ELSE 0.0 END AS mean_wlen,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3
+             AS n_ellipsis
+  FROM base
+), s AS (
+  SELECT doc_id, n_words, mean_wlen,
+         CASE WHEN n_words > 0
+              THEN (n_hash + n_ellipsis) * 1.0 / n_words
+              ELSE 0.0 END AS symbol_ratio,
+         len(list_filter(lines, l ->
+             starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+             OR starts_with(ltrim(l), '• '))) * 1.0 / n_lines
+             AS frac_bullet,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+             * 1.0 / n_lines AS frac_ellipsis,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+             * 1.0 / n_words
+         ELSE 0.0 END AS frac_alpha,
+         len(list_intersect(list_distinct(ws),
+             ['the','and','of','to','a','in','is','that','it','for']))
+             AS stop_hits,
+         (n_lines - len(dlines)) * 1.0 / n_lines AS frac_dup_lines,
+         CASE WHEN line_chars > 0
+              THEN (line_chars - dline_chars) * 1.0 / line_chars
+              ELSE 0.0 END AS frac_dup_chars
+  FROM m
+)
+SELECT doc_id,
+       n_words,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(frac_bullet, 4) AS frac_bullet_lines,
+       round(frac_ellipsis, 4) AS frac_ellipsis_lines,
+       round(frac_alpha, 4) AS frac_alpha_words,
+       stop_hits AS n_stopwords,
+       round(frac_dup_lines, 4) AS frac_dup_lines,
+       round(frac_dup_chars, 4) AS frac_dup_line_chars,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        AND symbol_ratio < 0.1 AND frac_bullet < 0.9
+        AND frac_ellipsis < 0.3 AND frac_alpha > 0.8
+        AND stop_hits >= 2 AND frac_dup_lines < 0.3) AS passes_gopher
+FROM s
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    from .operators.textops import repetition_stats
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+                  list_transform(range(1, len(ws)),
+                                 i -> array_to_string(ws[i:i+1], ' '))
+                ELSE [] END) AS gram
+  FROM w
+), gf AS (
+  SELECT doc_id, gram FROM g WHERE gram <> ''
+), c AS (
+  SELECT doc_id, gram, count(*) AS c FROM gf GROUP BY 1, 2
+), p AS (
+  SELECT doc_id,
+         sum(c) AS n_grams,
+         max(c) AS top_c,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c,
+         sum(c * length(gram)) AS chars,
+         sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup_chars
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN top_c * 1.0 / n_grams ELSE 0.0 END, 4)
+           AS top_gram_frac,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN dup_c * 1.0 / n_grams ELSE 0.0 END, 4)
+           AS dup_gram_frac,
+       round(CASE WHEN coalesce(chars, 0) > 0
+                  THEN dup_chars * 1.0 / chars ELSE 0.0 END, 4)
+           AS dup_char_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    from .operators.textops import decontaminate
+    return decontaminate(_read(spark, sf_dir, "documents"),
+                         bench_mod=20, shingle_n=3, frac_threshold=0.8)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM w
+), sh_f AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+), bsh AS (
+  SELECT DISTINCT shingle FROM sh_f WHERE doc_id % 20 = 0
+), csh AS (
+  SELECT doc_id, shingle FROM sh_f WHERE doc_id % 20 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM csh JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4)
+           AS contamination_frac,
+       coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles >= 0.8
+           AS is_contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip: pack documents into per-record-gzipped
+    WARC blobs (the Common-Crawl layout), parse them back with the stdlib
+    record parser, and emit one row per response record. The oracle is a
+    plain projection of the same table — equality proves the container
+    framing, gzip members, HTTP block, and payload bytes all survive."""
+    from pyspark.sql import functions as F
+    from .sources.warc import synthesize_warc, warc_records
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    recs = warc_records(synthesize_warc(docs, n_files=8, compress=True))
+    return (recs.filter(F.col("warc_type") == "response")
+            .select(F.col("target_uri").alias("url"), "http_status",
+                    "content_length", "payload_sha256"))
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       200 AS http_status,
+       octet_length(encode(text)) AS content_length,
+       sha256(encode(text)) AS payload_sha256
+FROM documents
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.textops import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
@@ -1276,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "warc_roundtrip": q_warc_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1331,6 +1519,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
+        "gopher_quality": SQL_GOPHER,
+        "repetition_stats": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
+        "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),

@@ -332,6 +332,167 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---- Gopher-style quality filters --------------------------------------------
+
+# the Gopher paper's repetition/format heuristics, expressed as pure Catalyst
+# per-row expressions (lines and words are array columns — no explode, no
+# shuffle; this filter runs inside the scan stage at 100 TB)
+_GOPHER_BULLETS = ("- ", "* ", "• ")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality signals + verdict, all whole-stage-codegen
+    Catalyst (zero shuffle: every signal is a per-row array expression).
+
+    Signals: word count, mean word length, symbol-to-word ratio ('#' and
+    '...'), bullet-start / ellipsis-end line fractions, fraction of words
+    containing an alphabetic character, distinct-stopword hits, duplicate
+    -line fraction (by line and by character mass). `passes_gopher` applies
+    the published thresholds (50<=words<=100k, 3<=mean_wlen<=10,
+    symbol<0.1, bullets<0.9, ellipsis<0.3, alpha>0.8, stopwords>=2,
+    dup_lines<0.3)."""
+    t = F.col(text_col)
+    words = words_expr(t)
+    n_words = F.size(words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda acc, l: acc + F.length(l))
+    dline_chars = F.aggregate(dlines, F.lit(0),
+                              lambda acc, l: acc + F.length(l))
+    mean_wlen = F.when(n_words > 0,
+                       F.aggregate(words, F.lit(0),
+                                   lambda acc, w: acc + F.length(w))
+                       .cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ellipsis = ((F.length(t) - F.length(F.replace(t, F.lit("..."))))
+                  / F.lit(3)).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    is_bullet = lambda l: (F.ltrim(l).startswith(_GOPHER_BULLETS[0])
+                           | F.ltrim(l).startswith(_GOPHER_BULLETS[1])
+                           | F.ltrim(l).startswith(_GOPHER_BULLETS[2]))
+    frac_bullet = F.size(F.filter(lines, is_bullet)).cast("double") / n_lines
+    frac_ellipsis = (F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+    )).cast("double") / n_lines)
+    frac_alpha = F.when(n_words > 0, F.size(F.filter(
+        words, lambda w: w.rlike("[a-z]")
+    )).cast("double") / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(s) for s in _EN_STOPWORDS])))
+    frac_dup_lines = (n_lines - F.size(dlines)).cast("double") / n_lines
+    frac_dup_chars = F.when(
+        line_chars > 0,
+        (line_chars - dline_chars).cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+    passes = ((n_words >= 50) & (n_words <= 100000)
+              & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+              & (symbol_ratio < 0.1) & (frac_bullet < 0.9)
+              & (frac_ellipsis < 0.3) & (frac_alpha > 0.8)
+              & (stop_hits >= 2) & (frac_dup_lines < 0.3))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(frac_bullet, 4).alias("frac_bullet_lines"),
+        F.round(frac_ellipsis, 4).alias("frac_ellipsis_lines"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        stop_hits.alias("n_stopwords"),
+        F.round(frac_dup_lines, 4).alias("frac_dup_lines"),
+        F.round(frac_dup_chars, 4).alias("frac_dup_line_chars"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document n-gram repetition profile (the Gopher 'fraction of
+    characters in duplicate n-grams' family). Distributed shape: explode
+    NON-distinct word n-grams, count per (doc, gram) — partial aggregation
+    combines map-side so the shuffle carries (doc_id, gram-hash) counts —
+    then one skinny per-doc rollup. Docs with < n words report zeros.
+
+    Returns (doc_id, n_grams, top_gram_frac, dup_gram_frac,
+    dup_char_frac): occurrence share of the most common gram, occurrence
+    share of all grams seen more than once, and the same weighted by gram
+    character mass."""
+    words = words_expr(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(F.size(words) >= n, shingles_expr(words, n))
+             .otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).filter(F.col("gram") != "")
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+         .alias("dup_c"),
+        F.sum(F.col("c") * F.length("gram")).alias("chars"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+               .otherwise(0)).alias("dup_chars"),
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    joined = ids.join(per_doc, "doc_id", "left")
+    ng = F.coalesce("n_grams", F.lit(0))
+    return joined.select(
+        "doc_id",
+        ng.alias("n_grams"),
+        F.round(F.when(ng > 0, F.col("top_c").cast("double") / ng)
+                .otherwise(F.lit(0.0)), 4).alias("top_gram_frac"),
+        F.round(F.when(ng > 0, F.col("dup_c").cast("double") / ng)
+                .otherwise(F.lit(0.0)), 4).alias("dup_gram_frac"),
+        F.round(F.when(F.coalesce("chars", F.lit(0)) > 0,
+                       F.col("dup_chars").cast("double") / F.col("chars"))
+                .otherwise(F.lit(0.0)), 4).alias("dup_char_frac"),
+    )
+
+
+# ---- benchmark decontamination ------------------------------------------------
+
+def decontaminate(docs: DataFrame, bench_mod: int = 20, shingle_n: int = 3,
+                  frac_threshold: float = 0.8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram shingles overlap an eval/benchmark set (here the deterministic
+    doc_id % bench_mod == 0 slice stands in for the benchmark corpus).
+
+    Scale shape — the standard inverted-index decontamination join: the
+    benchmark's DISTINCT shingle universe (small: benchmarks are MBs, the
+    corpus is TBs) joins against corpus shingles; at cluster scale Spark's
+    AQE broadcasts it, so the corpus-side scan never shuffles its text.
+    Returns one row per NON-benchmark doc: (doc_id, n_shingles,
+    n_contaminated, contamination_frac, is_contaminated)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    bench = d.filter(F.col("doc_id") % bench_mod == 0)
+    corpus = d.filter(F.col("doc_id") % bench_mod != 0)
+    bsh = doc_shingles(bench, shingle_n, text_col=text_col) \
+        .select("shingle").distinct()
+    csh = doc_shingles(corpus, shingle_n, text_col=text_col)
+    sizes = csh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (csh.join(bsh, "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    frac = (F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_shingles"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(frac, 4).alias("contamination_frac"),
+            (frac >= frac_threshold).alias("is_contaminated"),
+        )
+    )
+
+
 # ---- deterministic corpus split + dedup retention ---------------------------
 
 # lexicographic thresholds over the first 8 hex chars of md5(key): lowercase
