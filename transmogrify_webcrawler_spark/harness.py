@@ -734,8 +734,47 @@ SQL_WARC_ROUNDTRIP = """
 SELECT 'https://example.org/doc/' || doc_id AS url,
        200 AS http_status,
        octet_length(encode(text)) AS content_length,
-       sha256(encode(text)) AS payload_sha256
+       sha256(text) AS payload_sha256
 FROM documents
+"""
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap round-trip: build per-domain sitemaps.org XML from a URL
+    universe (Catalyst concat over sorted collect_list), then extract the
+    <loc> entries back out with the JVM xpath expression. The oracle builds
+    the same XML with string_agg and extracts with regexp — different
+    engines, different extraction technology, identical rows."""
+    from pyspark.sql import functions as F
+    from .sources.sitemap import synthesize_sitemaps, sitemap_urls
+    urls = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.org")).alias("domain"),
+        F.concat(F.lit("https://d"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    return sitemap_urls(synthesize_sitemaps(urls))
+
+
+SQL_SITEMAP_EXTRACT = """
+WITH u AS (
+  SELECT 'd' || (doc_id % 50) || '.example.org' AS domain,
+         'https://d' || (doc_id % 50) || '.example.org/page/' || doc_id
+             AS url
+  FROM documents
+), x AS (
+  SELECT domain,
+         '<?xml version="1.0" encoding="UTF-8"?>'
+         || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || string_agg('<url><loc>' || url || '</loc></url>', ''
+                       ORDER BY url)
+         || '</urlset>' AS xml
+  FROM u GROUP BY domain
+)
+SELECT domain,
+       unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc
+FROM x
 """
 
 
@@ -1464,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "warc_roundtrip": q_warc_roundtrip,
+        "sitemap_extract": q_sitemap_extract,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1523,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+        "sitemap_extract": SQL_SITEMAP_EXTRACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
