@@ -608,3 +608,33 @@ def test_ogg_sniff_dispatch():
     opus_head = b"OpusHead" + b"\x01\x02" + (0).to_bytes(2, "little")
     doc = _ogg_page(0, opus_head, first=True)
     assert sniff_mimetype(doc, "") == "audio/ogg"
+
+
+def test_kmeans_partition_invariant(spark):
+    """The whole point of the integer grid: identical output under any
+    partitioning (float k-means would differ in the last ulp)."""
+    from transmogrify_webcrawler_spark.operators.clustering import (
+        kmeans_exact)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_exact(emb, k=4, iterations=2,
+                                       dim=64).collect()))
+    b = sorted(map(tuple, kmeans_exact(emb.repartition(13), k=4,
+                                       iterations=2, dim=64).collect()))
+    assert a == b
+
+
+def test_kmeans_separates_blobs(spark):
+    from transmogrify_webcrawler_spark.operators.clustering import (
+        kmeans_exact)
+    rows = []
+    for i in range(40):  # two tight blobs around +/-0.3 in 8 dims
+        center = 0.3 if i % 2 == 0 else -0.3
+        rows.append((i, [center + 0.001 * ((i * 7 + d) % 10)
+                         for d in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_exact(emb, k=2, iterations=3, dim=8).collect()
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert by_parity[0] != by_parity[1]  # blobs land in different clusters
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1

@@ -778,6 +778,22 @@ FROM x
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Exact-arithmetic k-means (k=8, 3 Lloyd iterations) over the
+    embeddings table. Integer quantization + grid centroids make the
+    assignment AND the distances bit-exact under any partitioning — the
+    oracle equality is exact, not tolerance-based."""
+    from .operators.clustering import kmeans_exact
+    return kmeans_exact(_read(spark, sf_dir, "embeddings"),
+                        k=8, iterations=3, dim=64)
+
+
+def _sql_kmeans() -> str:
+    from .operators.clustering import kmeans_sql
+    return kmeans_sql("SELECT vec_id, embedding FROM embeddings",
+                      k=8, iterations=3, dim=64)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.textops import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
@@ -1504,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_extract": q_sitemap_extract,
+        "kmeans": q_kmeans,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1564,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,
+        "kmeans": _sql_kmeans(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
