@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "pii_redact",
     # round-5: deterministic split + end-to-end dedup retention decision
     "hash_split", "dedup_retention",
+    # round-5 session 3: quality/repetition/decontamination filters, the
+    # WARC + sitemap container round-trips, exact-arithmetic k-means
+    "gopher_quality", "repetition_stats", "decontaminate",
+    "warc_roundtrip", "sitemap_extract", "kmeans",
 ]
 
 

@@ -94,3 +94,57 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1]["is_contaminated"] is False
     assert out[2]["n_contaminated"] == 4  # the 4 shingles inside bench_text
     assert out[2]["is_contaminated"] is True
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "forum") for i in range(20000)],
+        "doc_id long, source string")
+    from transmogrify_webcrawler_spark.operators.sampling import (
+        mixture_sample)
+    out = mixture_sample(docs, rates={"web": 0.5, "forum": 0.1})
+    kept = {r["source"]: r["n"] for r in
+            out.filter("keep").groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+    assert 0.45 < kept["web"] / 10000 < 0.55
+    assert 0.07 < kept["forum"] / 10000 < 0.13
+    again = mixture_sample(docs.repartition(17), rates={"web": 0.5,
+                                                        "forum": 0.1})
+    assert sorted(map(tuple, out.collect())) == \
+           sorted(map(tuple, again.collect()))
+
+
+def test_stratified_topn_unique_and_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(1000)], "doc_id long, source string")
+    from transmogrify_webcrawler_spark.operators.sampling import (
+        stratified_topn)
+    out = stratified_topn(docs, n=10)
+    rows = out.collect()
+    assert len(rows) == 50
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert all(len(v) == 10 for v in per.values())
+    # rank-filter windows must plan as WindowGroupLimit (top-k pushdown),
+    # not a full per-stratum sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_pack_sequences_contiguous_and_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7))) for i in range(500)],
+        "doc_id long, text string")
+    from transmogrify_webcrawler_spark.operators.sampling import (
+        pack_sequences)
+    out = pack_sequences(docs, context_len=64, block=50)
+    rows = sorted(map(tuple, out.collect()))
+    # offsets are a contiguous token layout in doc_id order
+    acc = 0
+    for doc_id, n_tokens, start, bin_id, bin_pos in rows:
+        assert start == acc
+        assert bin_id == start // 64 and bin_pos == start % 64
+        acc += n_tokens
+    other = pack_sequences(docs.repartition(11), context_len=64, block=50)
+    assert rows == sorted(map(tuple, other.collect()))

@@ -794,6 +794,43 @@ def _sql_kmeans() -> str:
                       k=8, iterations=3, dim=64)
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    from .operators.sampling import mixture_sample
+    return mixture_sample(_read(spark, sf_dir, "documents"),
+                          rates=_MIX_RATES, default_rate=0.75)
+
+
+def _sql_mixture_sample() -> str:
+    from .operators.sampling import mixture_sample_sql
+    return mixture_sample_sql("SELECT doc_id, source FROM documents",
+                              rates=_MIX_RATES, default_rate=0.75)
+
+
+def q_stratified_topn(spark, sf_dir):
+    from .operators.sampling import stratified_topn
+    return stratified_topn(_read(spark, sf_dir, "documents"), n=25)
+
+
+def _sql_stratified_topn() -> str:
+    from .operators.sampling import stratified_topn_sql
+    return stratified_topn_sql("SELECT doc_id, source FROM documents", n=25)
+
+
+def q_pack_sequences(spark, sf_dir):
+    from .operators.sampling import pack_sequences
+    return pack_sequences(_read(spark, sf_dir, "documents"),
+                          context_len=2048, block=64)
+
+
+def _sql_pack_sequences() -> str:
+    from .operators.sampling import pack_sequences_sql
+    return pack_sequences_sql("SELECT doc_id, text FROM documents",
+                              context_len=2048)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.textops import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
@@ -1521,6 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_extract": q_sitemap_extract,
         "kmeans": q_kmeans,
+        "mixture_sample": q_mixture_sample,
+        "stratified_topn": q_stratified_topn,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1582,6 +1622,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,
         "kmeans": _sql_kmeans(),
+        "mixture_sample": _sql_mixture_sample(),
+        "stratified_topn": _sql_stratified_topn(),
+        "pack_sequences": _sql_pack_sequences(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
