@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     # WARC + sitemap container round-trips, exact-arithmetic k-means
     "gopher_quality", "repetition_stats", "decontaminate",
     "warc_roundtrip", "sitemap_extract", "kmeans",
+    "mixture_sample", "stratified_topn", "pack_sequences",
+    "trap_urls", "robots_sitemap", "recrawl_schedule",
 ]
 
 

@@ -148,3 +148,31 @@ def test_pack_sequences_contiguous_and_partition_invariant(spark):
         acc += n_tokens
     other = pack_sequences(docs.repartition(11), context_len=64, block=50)
     assert rows == sorted(map(tuple, other.collect()))
+
+
+def test_recrawl_schedule_change_semantics(spark):
+    import datetime as dt
+    from transmogrify_webcrawler_spark.operators.frontier import (
+        recrawl_schedule)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # url 1: changes on every fetch -> interval = span / 3 changes
+        (1, t0, "a", 0), (1, t0 + dt.timedelta(hours=2), "b", 1),
+        (1, t0 + dt.timedelta(hours=4), "c", 2),
+        (1, t0 + dt.timedelta(hours=6), "d", 3),
+        # url 2: never changes -> max interval
+        (2, t0, "x", 0), (2, t0 + dt.timedelta(days=1), "x", 1),
+        # url 3: single fetch -> no span, no changes -> max interval
+        (3, t0, "y", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_id long, ts timestamp_ntz, fingerprint string, "
+              "fetch_id long")
+    out = {r["url_id"]: r for r in recrawl_schedule(df).collect()}
+    hours6 = 6 * 3_600_000_000
+    assert out[1]["n_changes"] == 3 and out[1]["span_us"] == hours6
+    assert out[1]["recrawl_us"] == hours6 // 3
+    assert out[2]["n_changes"] == 0
+    assert out[2]["recrawl_us"] == 2_592_000_000_000
+    assert out[3]["n_fetches"] == 1
+    assert out[3]["recrawl_us"] == 2_592_000_000_000

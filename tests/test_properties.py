@@ -172,3 +172,24 @@ def test_mp3_estimate_formula(kbps_index, audio_kb, tag_pad):
         + b"\x00" * (audio_kb * 1000 - 4)
     want = (audio_kb * 1000) * 8 / (_MP3_KBPS_V1[kbps_index] * 1000.0)
     assert mp3_duration_estimate(tag + audio) == want
+
+
+# ---- WARC container: build->parse is the identity on any payload ----------
+
+_warc_urls = st.text(alphabet=string.ascii_letters + string.digits
+                     + ":/.-_~?=&", min_size=1, max_size=60).map(
+    lambda s: "https://h.example/" + s)
+
+
+@given(st.lists(st.tuples(_warc_urls, st.binary(max_size=2048)),
+                min_size=0, max_size=8, unique_by=lambda t: t[0]),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_warc_roundtrip_any_payload(items, compress):
+    """Payloads containing CRLFs, WARC/ magic, gzip magic, NULs — anything —
+    must survive the container: Content-Length framing, not sentinels."""
+    from transmogrify_webcrawler_spark.sources.warc import (
+        build_warc_file, parse_warc_bytes)
+    blob = build_warc_file(items, "t.warc", compress=compress)
+    recs = [r for r in parse_warc_bytes(blob) if r["warc_type"] == "response"]
+    assert [(r["target_uri"], r["payload"]) for r in recs] == items

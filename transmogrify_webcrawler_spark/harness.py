@@ -831,6 +831,133 @@ def _sql_pack_sequences() -> str:
                               context_len=2048)
 
 
+def q_trap_urls(spark, sf_dir):
+    """Crawler-trap URL scoring over a deterministic URL universe that
+    exercises all three signals (looping segments via repeat, deep paths,
+    parameter explosions)."""
+    from pyspark.sql import functions as F
+    from .operators.traps import trap_signals
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://d"), (d % 50).cast("string"), F.lit(".example.org"),
+        F.repeat(F.concat(F.lit("/p"), (d % 4).cast("string")),
+                 (d % 15).cast("int")),
+        F.when(d % 7 == 0,
+               F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"))
+         .when(d % 11 == 0, F.lit("?x=1")).otherwise(F.lit("")),
+    )
+    urls = _read(spark, sf_dir, "documents").select(url.alias("url"))
+    return trap_signals(urls)
+
+
+SQL_TRAP_URLS = """
+WITH u AS (
+  SELECT 'https://d' || (doc_id % 50) || '.example.org'
+         || repeat('/p' || (doc_id % 4), CAST(doc_id % 15 AS INT))
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                 WHEN doc_id % 11 = 0 THEN '?x=1'
+                 ELSE '' END AS url
+  FROM documents
+), s AS (
+  SELECT url,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+           '/'), x -> x <> '') AS segs,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+), m AS (
+  SELECT url, len(segs) AS depth,
+         coalesce(list_max(list_transform(list_distinct(segs),
+             s2 -> len(list_filter(segs, x -> x = s2)))), 0)
+             AS max_seg_repeat,
+         CASE WHEN q <> '' THEN len(string_split(q, '&')) ELSE 0 END
+             AS n_params
+  FROM s
+)
+SELECT url, depth, max_seg_repeat, n_params,
+       (depth > 12 OR max_seg_repeat >= 3 OR n_params > 8) AS is_trap
+FROM m
+"""
+
+
+def q_robots_sitemap(spark, sf_dir):
+    """Sitemap autodiscovery from robots.txt bodies (the sitemaps.org
+    Sitemap: directive — case-insensitive key, leading whitespace legal,
+    non-directive lookalikes must NOT match)."""
+    from pyspark.sql import functions as F
+    from .sources.sitemap import robots_sitemaps
+    n = F.col("n")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("Sitemap: https://d"), n.cast("string"),
+        F.lit(".example.org/sitemap.xml\n"),
+        F.when(n % 3 == 0, F.concat(
+            F.lit("  sitemap:\thttps://d"), n.cast("string"),
+            F.lit(".example.org/sitemap2.xml\n"))).otherwise(F.lit("")),
+        F.lit("notasitemap: https://evil.example/x\nAllow: /\n"),
+    )
+    robots = (_read(spark, sf_dir, "documents")
+              .select((F.col("doc_id") % 50).alias("n")).distinct()
+              .select(F.concat(F.lit("d"), n.cast("string"),
+                               F.lit(".example.org")).alias("domain"),
+                      body.alias("robots_txt")))
+    return robots_sitemaps(robots)
+
+
+SQL_ROBOTS_SITEMAP = """
+WITH r AS (
+  SELECT DISTINCT 'd' || (doc_id % 50) || '.example.org' AS domain,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+         || 'Sitemap: https://d' || (doc_id % 50)
+         || '.example.org/sitemap.xml' || chr(10)
+         || CASE WHEN (doc_id % 50) % 3 = 0
+                 THEN '  sitemap:' || chr(9) || 'https://d' || (doc_id % 50)
+                      || '.example.org/sitemap2.xml' || chr(10)
+                 ELSE '' END
+         || 'notasitemap: https://evil.example/x' || chr(10)
+         || 'Allow: /' || chr(10) AS robots_txt
+  FROM documents
+)
+SELECT domain,
+       unnest(regexp_extract_all(robots_txt,
+              '(?im)^[ \\t]*sitemap:[ \\t]*([^ \\t\\r\\n]+)', 1))
+           AS sitemap_url
+FROM r
+"""
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness scheduling over the events table as a fetch log:
+    user_id = url, value = content fingerprint, lag-window change
+    detection -> exact-integer recrawl interval."""
+    from .operators.frontier import recrawl_schedule
+    return recrawl_schedule(_read(spark, sf_dir, "events"),
+                            id_col="user_id", ts_col="ts",
+                            content_col="value", order_col="event_id")
+
+
+SQL_RECRAWL = """
+WITH o AS (
+  SELECT user_id AS url_id, epoch_us(ts) AS eus, value AS fp,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+), a AS (
+  SELECT url_id, count(*) AS n_fetches,
+         sum(CASE WHEN prev IS NOT NULL AND fp <> prev
+                  THEN 1 ELSE 0 END) AS n_changes,
+         max(eus) - min(eus) AS span_us
+  FROM o GROUP BY 1
+)
+SELECT url_id, n_fetches, n_changes, span_us,
+       least(2592000000000, greatest(3600000000,
+             CASE WHEN n_changes > 0 THEN span_us // n_changes
+                  ELSE 2592000000000 END)) AS recrawl_us
+FROM a
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.textops import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
@@ -1561,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "stratified_topn": q_stratified_topn,
         "pack_sequences": q_pack_sequences,
+        "trap_urls": q_trap_urls,
+        "robots_sitemap": q_robots_sitemap,
+        "recrawl_schedule": q_recrawl_schedule,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1625,6 +1755,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture_sample(),
         "stratified_topn": _sql_stratified_topn(),
         "pack_sequences": _sql_pack_sequences(),
+        "trap_urls": SQL_TRAP_URLS,
+        "robots_sitemap": SQL_ROBOTS_SITEMAP,
+        "recrawl_schedule": SQL_RECRAWL,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),

@@ -213,3 +213,48 @@ def assign_sortorder(emitted: DataFrame, offset: int,
     if approx_rows is None or approx_rows <= broadcast_limit:
         ranked = F.broadcast(ranked)
     return emitted.join(ranked, "url_canon")
+
+
+def recrawl_schedule(fetches: DataFrame, id_col: str = "url_id",
+                     ts_col: str = "ts", content_col: str = "fingerprint",
+                     order_col: str = "fetch_id",
+                     min_interval_us: int = 3_600_000_000,
+                     max_interval_us: int = 2_592_000_000_000) -> DataFrame:
+    """Freshness scheduling (Cho & Garcia-Molina): estimate each URL's
+    change rate from its fetch history and derive the next recrawl
+    interval. A change = the content fingerprint differing from the
+    previous fetch's (lag window over (ts, order_col) — the tiebreaker
+    makes the order total, so the change count is deterministic).
+
+    interval = clamp(observed_span / n_changes) in EXACT integer
+    microseconds (timestampdiff from a fixed NTZ epoch + floor division —
+    timezone-free and drift-free across engines); URLs never seen to
+    change sit at max_interval.
+
+    Scale shape: one window + one groupBy, both keyed on url_id — a single
+    shuffle; the fingerprint column is whatever dedup already computed
+    (doc_fingerprint), so no extra pass over content. Returns (url_id,
+    n_fetches, n_changes, span_us, recrawl_us)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col, order_col)
+    o = fetches.select(
+        F.col(id_col).alias("url_id"),
+        F.expr(f"timestampdiff(MICROSECOND, "
+               f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})").alias("eus"),
+        F.col(content_col).alias("fp"),
+        F.lag(F.col(content_col)).over(w).alias("prev"),
+    )
+    agg = o.groupBy("url_id").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(F.col("prev").isNotNull()
+                     & (F.col("fp") != F.col("prev")), 1)
+               .otherwise(0)).alias("n_changes"),
+        (F.max("eus") - F.min("eus")).alias("span_us"),
+    )
+    raw = F.when(F.col("n_changes") > 0,
+                 F.expr("span_us DIV n_changes")) \
+        .otherwise(F.lit(max_interval_us))
+    return agg.select(
+        "url_id", "n_fetches", "n_changes", "span_us",
+        F.least(F.lit(max_interval_us),
+                F.greatest(F.lit(min_interval_us), raw)).alias("recrawl_us"),
+    )

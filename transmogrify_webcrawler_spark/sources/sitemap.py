@@ -46,6 +46,28 @@ def synthesize_sitemaps(urls: DataFrame, url_col: str = "url",
     )
 
 
+# the robots.txt Sitemap: directive (sitemaps.org autodiscovery): key is
+# case-insensitive, value is a URL, scope is global (not per user-agent).
+# Pinned to the Java-regex/RE2 common subset (inline (?im), no lookaround)
+# so Spark and DuckDB provably extract the same set.
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap:[ \t]*([^ \t\r\n]+)"
+
+
+def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
+                    body_col: str = "robots_txt") -> DataFrame:
+    """Extract Sitemap: directives from robots.txt bodies: (domain,
+    sitemap_url), one row per directive. regexp_extract_all + explode —
+    runs in the scan stage next to the robots gate itself, so sitemap
+    autodiscovery costs the crawl nothing extra."""
+    return robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col),
+                                 F.lit(ROBOTS_SITEMAP_RE), 1)
+        ).alias("sitemap_url"),
+    )
+
+
 def sitemap_urls(sitemaps: DataFrame, xml_col: str = "xml",
                  domain_col: str = "domain") -> DataFrame:
     """Extract every <loc> from sitemap XML: (domain, loc) one row per URL.
