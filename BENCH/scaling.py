@@ -180,13 +180,13 @@ def engine_gate(repeats: int = 3) -> dict:
                 "workload kernel on this pairing)" if ratio >= 0.9 else
                 "**NOT MET** — below the gate and below 90% of the "
                 "same-session kernel ceiling"))
+    tag = os.environ.get("SPARK_GRAFT_GATE_TAG",
+                         "gate, post driver-overhead fix")
     md = f"""
 
-## Round-5 gate, post driver-overhead fix: ENGINE 2->8 with same-session kernel ceiling
+## Round-5 {tag}: ENGINE 2->8 with same-session kernel ceiling
 
-Measured 2026-08-17 (round 5, after the per-wave expression cache +
-dataFrameDebugging=off cut ~2 s/wave of serial driver time — the Amdahl
-term the first round-5 protocol run exposed), one session, shipped ENGINE
+Measured 2026-08-17 (round 5), one session, shipped ENGINE
 shape (per-wave fetch, bloom ON, pipeline_commits OFF — the engine default
 the bench also defaults to), median-of-{repeats} per point:
 
