@@ -1647,6 +1647,194 @@ FROM f
 """
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring duplicate-span accounting (Lee et al. 2022): every
+    token position whose 5-gram repeats corpus-wide, merged into removable
+    spans. All-integer output — bit-exact vs the oracle's identical
+    digest-join + lag-window recurrence."""
+    from .operators.textops import duplicate_span_stats
+    return duplicate_span_stats(_read(spark, sf_dir, "documents"),
+                                k=5, min_count=2)
+
+
+SQL_DUP_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                i -> {'pos': i,
+                      'dg': md5(array_to_string(ws[i+1:i+5], ' '))})) AS u
+  FROM w
+), g AS (
+  SELECT doc_id, u.pos AS pos, u.dg AS dg FROM g0
+), dup AS (
+  SELECT dg FROM g GROUP BY dg HAVING count(*) >= 2
+), d AS (
+  SELECT doc_id, pos FROM g JOIN dup USING (dg)
+), sp AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM d
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_dup_positions,
+         sum(CASE WHEN prev IS NULL OR pos - prev >= 5
+                  THEN 1 ELSE 0 END) AS n_spans,
+         sum(CASE WHEN prev IS NULL THEN 5
+                  ELSE least(pos - prev, 5) END) AS n_removed_tokens
+  FROM sp GROUP BY 1
+)
+SELECT w.doc_id,
+       len(ws)::BIGINT AS n_tokens,
+       coalesce(n_dup_positions, 0)::BIGINT AS n_dup_positions,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+       (len(ws) - coalesce(n_removed_tokens, 0))::BIGINT AS n_kept_tokens
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _c4_fixture(docs):
+    """Line-structured text constructed deterministically from the (newline-
+    free) synthetic documents: lines of 5 lowercased words; per (doc_id +
+    line) % 4 a line gets terminal punctuation / none / a 'javascript'
+    mention / truncation to 2 words, and doc_id % 11 / % 13 docs gain a
+    'lorem ipsum' / '{' line — so every C4 rule fires non-vacuously. The
+    oracle SQL builds the identical strings."""
+    from .operators.textops import words_expr
+
+    ws = F.slice(words_expr(F.col("text")), 1, 40)
+    nl = F.greatest(F.floor(F.size(ws) / 5).cast("int"), F.lit(1))
+
+    def mkline(i):
+        base = F.concat_ws(" ", F.slice(ws, i * 5 + 1, 5))
+        short = F.concat_ws(" ", F.slice(ws, i * 5 + 1, 2))
+        m = (F.col("doc_id") + i) % 4
+        return (F.when(m == 0, F.concat(base, F.lit(".")))
+                 .when(m == 1, base)
+                 .when(m == 2, F.concat(base, F.lit(" javascript required.")))
+                 .otherwise(F.concat(short, F.lit("!"))))
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1), mkline), "\n")
+    text2 = (
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(body, F.lit("\nneed lorem ipsum text here.")))
+        .when(F.col("doc_id") % 13 == 0,
+              F.concat(body, F.lit("\nvar config = { a: 1 };")))
+        .otherwise(body))
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020) over a constructed
+    line-structured fixture in which every rule provably fires: terminal-
+    punctuation keep, min-words drop, javascript-line drop, lorem-ipsum and
+    curly-brace whole-document drops."""
+    from .operators.textops import c4_filters
+    return c4_filters(_c4_fixture(_read(spark, sf_dir, "documents")),
+                      min_words=4)
+
+
+_SQL_C4_FIXTURE = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+           THEN body || chr(10) || 'need lorem ipsum text here.'
+         WHEN doc_id % 13 = 0
+           THEN body || chr(10) || 'var config = { a: 1 };'
+         ELSE body END AS text
+  FROM (
+    SELECT doc_id,
+      array_to_string(list_transform(range(0, greatest(len(ws) // 5, 1)),
+        i -> CASE
+          WHEN (doc_id + i) % 4 = 0
+            THEN array_to_string(ws[i*5+1:i*5+5], ' ') || '.'
+          WHEN (doc_id + i) % 4 = 1
+            THEN array_to_string(ws[i*5+1:i*5+5], ' ')
+          WHEN (doc_id + i) % 4 = 2
+            THEN array_to_string(ws[i*5+1:i*5+5], ' ')
+                 || ' javascript required.'
+          ELSE array_to_string(ws[i*5+1:i*5+2], ' ') || '!'
+        END), chr(10)) AS body
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')[1:40] AS ws
+      FROM documents))
+"""
+
+SQL_C4_FILTERS = f"""
+WITH fx AS ({_SQL_C4_FIXTURE}
+), ln AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fx
+), ev AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+             AS doc_bad,
+         list_filter(lines, l ->
+             regexp_matches(rtrim(l), '[.!?"]$')
+             AND len(list_filter(string_split_regex(l, '\\s+'),
+                                 x -> x <> '')) >= 4
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM ln
+)
+SELECT doc_id,
+       n_lines::BIGINT AS n_lines,
+       (CASE WHEN doc_bad THEN 0 ELSE len(kept) END)::BIGINT
+           AS n_kept_lines,
+       (CASE WHEN doc_bad THEN 0 ELSE
+          len(list_filter(string_split_regex(
+                coalesce(array_to_string(kept, chr(10)), ''), '\\s+'),
+              x -> x <> ''))
+        END)::BIGINT AS n_kept_words,
+       (NOT doc_bad AND len(kept) > 0) AS passes_c4,
+       CASE WHEN doc_bad THEN ''
+            ELSE coalesce(array_to_string(kept, chr(10)), '') END
+           AS kept_text
+FROM ev
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 salient terms per doc by deterministic TF-IDF (tf*N/df — one
+    IEEE division of exact integers, so the DOUBLE matches DuckDB bit-wise;
+    ties break on the term string)."""
+    from .operators.textops import tfidf_topk
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         (tf * (SELECT n_docs FROM n)) * 1.0 / df AS score
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(score, 4) AS score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -1691,6 +1879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_urls": q_trap_urls,
         "robots_sitemap": q_robots_sitemap,
         "recrawl_schedule": q_recrawl_schedule,
+        "dup_span_stats": q_dup_span_stats,
+        "c4_filters": q_c4_filters,
+        "tfidf_topk": q_tfidf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -1758,6 +1949,9 @@ def oracle_sql() -> dict[str, str]:
         "trap_urls": SQL_TRAP_URLS,
         "robots_sitemap": SQL_ROBOTS_SITEMAP,
         "recrawl_schedule": SQL_RECRAWL,
+        "dup_span_stats": SQL_DUP_SPANS,
+        "c4_filters": SQL_C4_FILTERS,
+        "tfidf_topk": SQL_TFIDF,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),

@@ -555,3 +555,154 @@ def dedup_retention(docs: DataFrame, pairs: DataFrame, iterations: int = 6,
             (F.coalesce("label", "doc_id") == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+# ---- exact-substring duplicate spans (Lee et al. 2022) -----------------------
+
+def duplicate_span_stats(docs: DataFrame, k: int = 5, min_count: int = 2,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup accounting (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): mark every token position
+    whose k-token gram occurs >= min_count times CORPUS-WIDE, merge
+    overlapping [p, p+k) spans per document, and report the removable token
+    mass. This is the suffix-array dedup's semantics restated as a
+    distributed gram join — the standard way to scale it on Spark.
+
+    Scale shape:
+    - positions shuffle as (doc_id, pos, md5-of-gram) — a 32-hex digest, not
+      the gram text (same trick as dedup_exact), so the corpus-wide gram
+      count groupBy carries ~50 bytes/row and partial-aggregates map-side.
+    - the duplicate-gram filter is an inverted-index join on the digest; the
+      pair space is never materialized.
+    - span merging is a per-doc lag window over ONLY the duplicated
+      positions (a tiny minority of the corpus) — overlapping [p, p+k)
+      intervals merge iff the gap to the previous duplicated position < k,
+      so n_removed = k for the first position + min(gap, k) for each next.
+
+    Returns (doc_id, n_tokens, n_dup_positions, n_spans, n_removed_tokens,
+    n_kept_tokens) — all BIGINT, bit-exact under any partitioning."""
+    from pyspark.sql import Window
+
+    words = words_expr(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("ws") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("ws", i + 1, k))
+                        .cast("binary")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "dg"),
+    )
+    dup_digests = (grams.groupBy("dg").agg(F.count("*").alias("c"))
+                   .filter(F.col("c") >= min_count).select("dg"))
+    dup_pos = grams.join(dup_digests, "dg").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    spans = dup_pos.select(
+        "doc_id",
+        F.when(prev.isNull() | (F.col("pos") - prev >= k), 1)
+         .otherwise(0).alias("new_span"),
+        F.when(prev.isNull(), F.lit(k))
+         .otherwise(F.least(F.col("pos") - prev, F.lit(k)))
+         .alias("contrib"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_positions"),
+        F.sum("new_span").alias("n_spans"),
+        F.sum("contrib").alias("n_removed_tokens"),
+    )
+    sizes = base.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    out = sizes.join(per_doc, "doc_id", "left")
+    removed = F.coalesce("n_removed_tokens", F.lit(0)).cast("long")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long")
+         .alias("n_dup_positions"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        removed.alias("n_removed_tokens"),
+        (F.col("n_tokens") - removed).alias("n_kept_tokens"),
+    )
+
+
+# ---- C4-style line filters (Raffel et al. 2020) -------------------------------
+
+def c4_filters(docs: DataFrame, min_words: int = 4,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2): keep only lines that
+    end in terminal punctuation (. ! ? ") AND have >= min_words words AND do
+    not mention 'javascript'; drop the WHOLE document if it contains
+    'lorem ipsum' or a curly brace '{' (boilerplate/code page signals).
+
+    Catalyst-only — split / higher-order filter / array_join; the kept text
+    never leaves the JVM. Per-line decisions are embarrassingly parallel, so
+    at 100 TB this is a pure map stage with zero shuffle.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_kept_words, passes_c4,
+    kept_text); a failed document reports 0 kept lines/words and ''."""
+    lines = F.split(F.col(text_col), "\n")
+    doc_bad = (F.lower(F.col(text_col)).contains("lorem ipsum")
+               | F.col(text_col).contains("{"))
+
+    def _line_ok(l):
+        lw = F.filter(F.split(l, r"\s+"), lambda x: x != F.lit(""))
+        return (F.rtrim(l).rlike(r'[.!?"]$')
+                & (F.size(lw) >= min_words)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.when(doc_bad, F.array().cast("array<string>")) \
+            .otherwise(F.filter(lines, _line_ok))
+    kept_text = F.array_join(kept, "\n")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.size(F.filter(F.split(kept_text, r"\s+"),
+                        lambda x: x != F.lit("")))
+         .cast("long").alias("n_kept_words"),
+        (~doc_bad & (F.size(kept) > 0)).alias("passes_c4"),
+        kept_text.alias("kept_text"),
+    )
+
+
+# ---- TF-IDF top-k keyword extraction ------------------------------------------
+
+def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k salient terms per document by a deterministic TF-IDF variant:
+    score = tf * N / df as one IEEE double division of exact integers —
+    identical on every engine, unlike ln-based idf whose libm rounding can
+    differ. Ranking ties break on the term string, so the top-k set is
+    unique.
+
+    Scale shape: (doc, term, tf) partial-aggregates map-side; the document
+    frequency table is a skinny (term, df) aggregate joined back on term —
+    at cluster scale AQE broadcasts it when the vocabulary is small, and the
+    per-doc top-k is a WindowGroupLimit (rank pushdown), never a full sort.
+
+    Returns (doc_id, term, tf, df, score, rank), rank in 1..k."""
+    from pyspark.sql import Window
+
+    words = words_expr(F.col(text_col))
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf", "df",
+                      ((F.col("tf") * F.col("n_docs")).cast("double")
+                       / F.col("df")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df",
+                    F.round("score", 4).alias("score"), "rank"))
