@@ -4,6 +4,7 @@ properties, and the bit-exactness-under-repartitioning claim the fixed-point
 design exists for."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from transmogrify_webcrawler_spark.operators.graph import (
     PAGERANK_SCALE, connected_components, pagerank_fixed,
@@ -87,3 +88,29 @@ def test_cc_multigraph_and_direction_insensitive(spark):
     b = sorted(map(tuple,
                    connected_components(_edges(spark, noisy), 4).collect()))
     assert a == b == [(1, 3, 1)]
+
+
+def test_hits_star_graph(spark):
+    # hub 1 points at authorities 10,11,12; node 2 points only at 10.
+    from transmogrify_webcrawler_spark.operators.graph import (
+        HITS_SCALE, hits_fixed)
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long")
+    out = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits_fixed(edges, iterations=2).collect()}
+    # node 1 is the best hub, node 10 the best authority (max-normalized)
+    assert out[1][0] == HITS_SCALE
+    assert out[10][1] == HITS_SCALE
+    assert out[2][0] < out[1][0]
+    assert out[11][1] < out[10][1]
+    # pure authorities have zero hub score; pure hubs zero authority
+    assert out[10][0] == 0 and out[1][1] == 0
+
+
+def test_hits_partition_invariance(spark):
+    from transmogrify_webcrawler_spark.operators.graph import hits_fixed
+    edges = spark.range(500).select(
+        (F.col("id") % 37).alias("src"), (F.col("id") % 53 + 100).alias("dst"))
+    a = sorted(map(tuple, hits_fixed(edges.coalesce(1)).collect()))
+    b = sorted(map(tuple, hits_fixed(edges.repartition(16)).collect()))
+    assert a == b

@@ -1036,6 +1036,22 @@ def _sql_pagerank() -> str:
         iterations=3)
 
 
+def q_hits(spark, sf_dir):
+    """Fixed-point HITS hubs/authorities (2 iterations, max-normalized
+    all-BIGINT arithmetic) over the same order->part link graph as
+    pagerank — bit-exact under any partitioning, exact oracle equality."""
+    from .operators.graph import hits_fixed
+    return hits_fixed(_read(spark, sf_dir, "lineitem"), iterations=2,
+                      src="l_orderkey", dst="l_partkey")
+
+
+def _sql_hits() -> str:
+    from .operators.graph import hits_sql
+    return hits_sql(
+        "SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem",
+        iterations=2)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test split — content-independent,
     RNG-free, identical on any engine/cluster size (lexicographic md5-prefix
@@ -1800,6 +1816,75 @@ FROM ev
 """
 
 
+def q_cdx_index(spark, sf_dir):
+    """SURT-keyed CDX capture index over constructed URLs exercising every
+    rule (mixed case, www/port stripping, query kept, fragment dropped).
+    STRONG oracle: the expected SURT is built arithmetically from the part
+    key, not by re-running the operator's regexes; idx is the 0-based
+    global (surt, url) rank, computed distributed (two-phase prefix sum)
+    on the Spark side and as one window in DuckDB."""
+    from .operators.cdx import cdx_index
+
+    pk = F.col("p_partkey")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(pk % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (pk % 30).cast("string"), F.lit(".Example.COM"),
+        F.when(pk % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/cat"), (pk % 5).cast("string"),
+        F.lit("/item"), pk.cast("string"),
+        F.when(pk % 2 == 0, F.lit(".html")).otherwise(F.lit("/")),
+        F.when(pk % 7 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+        F.when(pk % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return cdx_index(_read(spark, sf_dir, "part").select(url.alias("url")))
+
+
+SQL_CDX_INDEX = """
+WITH u AS (
+  SELECT 'HTTP://' || CASE WHEN p_partkey % 4 = 0 THEN 'WWW.' ELSE '' END
+      || 'Site' || (p_partkey % 30) || '.Example.COM'
+      || CASE WHEN p_partkey % 3 = 0 THEN ':8080' ELSE '' END
+      || '/cat' || (p_partkey % 5) || '/item' || p_partkey
+      || CASE WHEN p_partkey % 2 = 0 THEN '.html' ELSE '/' END
+      || CASE WHEN p_partkey % 7 = 0 THEN '?q=1' ELSE '' END
+      || CASE WHEN p_partkey % 5 = 0 THEN '#frag' ELSE '' END AS url,
+    'com,example,site' || (p_partkey % 30) || ')/cat' || (p_partkey % 5)
+      || '/item' || p_partkey
+      || CASE WHEN p_partkey % 2 = 0 THEN '.html' ELSE '/' END
+      || CASE WHEN p_partkey % 7 = 0 THEN '?q=1' ELSE '' END AS surt
+  FROM part
+)
+SELECT url, surt, md5(url) AS digest,
+       (row_number() OVER (ORDER BY surt, url) - 1)::BIGINT AS idx
+FROM u
+"""
+
+
+def q_hll_cardinality(spark, sf_dir):
+    """Distributed HyperLogLog distinct-count of a key universe with natural
+    duplicates (lineitem part keys), alongside the exact count so the
+    estimate's accuracy is part of the checked result. The sketch math is
+    exact BIGINT register arithmetic — the estimate matches DuckDB
+    bit-for-bit (operators/sketches.py)."""
+    from .operators.sketches import hll_cardinality
+
+    keys = _read(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("k:"), F.col("l_partkey").cast("string")).alias("k"))
+    est = hll_cardinality(keys, "k")
+    exact = keys.agg(F.countDistinct("k").cast("long").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+def _sql_hll_cardinality() -> str:
+    from .operators.sketches import hll_cardinality_sql
+    inner = hll_cardinality_sql(
+        "SELECT 'k:' || l_partkey AS k FROM lineitem", "k")
+    return (f"SELECT hll_estimate, n_buckets_seen,"
+            f" (SELECT count(DISTINCT 'k:' || l_partkey)"
+            f" FROM lineitem)::BIGINT AS n_exact FROM ({inner})")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 salient terms per doc by deterministic TF-IDF (tf*N/df — one
     IEEE division of exact integers, so the DOUBLE matches DuckDB bit-wise;
@@ -1882,9 +1967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "c4_filters": q_c4_filters,
         "tfidf_topk": q_tfidf_topk,
+        "cdx_index": q_cdx_index,
+        "hll_cardinality": q_hll_cardinality,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "pii_redact": q_pii_redact,
         "hash_split": q_hash_split,
         "dedup_retention": q_dedup_retention,
@@ -1952,9 +2040,12 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": SQL_DUP_SPANS,
         "c4_filters": SQL_C4_FILTERS,
         "tfidf_topk": SQL_TFIDF,
+        "cdx_index": SQL_CDX_INDEX,
+        "hll_cardinality": _sql_hll_cardinality(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),
+        "hits": _sql_hits(),
         "pii_redact": _sql_pii_redact(),
         "hash_split": _sql_hash_split(),
         "dedup_retention": _sql_dedup_retention(),

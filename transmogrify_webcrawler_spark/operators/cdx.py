@@ -1,0 +1,87 @@
+"""SURT canonicalization and CDX-style capture indexing — the web-archive
+index layer every large crawl ships alongside its page store (the
+Common-Crawl / OpenWayback CDXJ convention): captures are keyed by the
+Sort-friendly URI Reordering Transform so one prefix range scan answers
+"everything under this host/domain/path".
+
+SURT here (pinned subset, documented deviations from the full spec):
+  http://WWW.Sub.Example.COM:8080/a/b.html
+    -> com,example,sub)/a/b.html
+- scheme dropped, host lowercased, leading 'www.' stripped, port stripped
+  (full SURT keeps non-default ports; this engine's canonicalizer
+  normalizes ports away before indexing, so the index key matches it),
+- host labels reversed and comma-joined, then ')' + path-and-query,
+- fragment dropped, empty path -> '/'.
+
+Everything is Catalyst string/regexp expressions — zero Python, so at
+100 TB the key derivation rides the page-table scan for free.
+
+The global capture index (idx) is a two-phase distributed prefix sum, NOT a
+single-partition row_number: rows bucket by a surt prefix (lexicographic, so
+bucket order == global order), count-per-bucket comes to the driver (one
+bounded row per bucket, same convention as sampling.pack_sequences), and the
+cumulative offsets broadcast back. On a cluster the bucketing step becomes
+repartitionByRange(surt) and the final table writes sorted-within-partitions
+— a range scan then touches only the matching files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def surt_expr(url):
+    """SURT key of a URL column (Catalyst-only; see module docstring)."""
+    host = F.regexp_extract(url, _SCHEME + r"([^/?#]+)", 1)
+    host = F.regexp_replace(F.lower(host), r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    key = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, _SCHEME + r"[^/?#]*([/?][^#]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(key, F.lit(")"), path)
+
+
+def cdx_index(captures: DataFrame, url_col: str = "url",
+              prefix_len: int = 4) -> DataFrame:
+    """(url, surt, digest, idx): the CDX line set for a capture table, with
+    idx the 0-based position in global (surt, url) order.
+
+    idx comes from a two-phase prefix sum over lexicographic surt-prefix
+    buckets — the per-bucket counts are the only driver transfer (bounded:
+    <= alphabet^prefix_len rows), and no task ever sees more than one
+    bucket's rows in its sort."""
+    u = F.col(url_col)
+    keyed = captures.select(
+        u.alias("url"),
+        surt_expr(u).alias("surt"),
+        F.md5(u.cast("binary")).alias("digest"),
+    ).withColumn("blk", F.substring("surt", 1, prefix_len))
+    w = Window.partitionBy("blk").orderBy("surt", "url")
+    local = keyed.withColumn("local_idx", F.row_number().over(w))
+    totals = sorted(
+        (r["blk"], r["c"]) for r in
+        keyed.groupBy("blk").agg(F.count("*").alias("c")).collect())
+    offsets, acc = [], 0
+    for blk, c in totals:
+        offsets.append((blk, acc))
+        acc += int(c)
+    off = captures.sparkSession.createDataFrame(offsets, "blk string, off long")
+    return (local.join(F.broadcast(off), "blk")
+            .select("url", "surt", "digest",
+                    (F.col("off") + F.col("local_idx") - 1).alias("idx")))
+
+
+def surt_sql(url_sql: str) -> str:
+    """The identical SURT derivation in DuckDB SQL (RE2 / Java-regex common
+    subset only), for oracle construction."""
+    host = (f"regexp_replace(regexp_replace(lower(regexp_extract({url_sql},"
+            f" '{_SCHEME}([^/?#]+)', 1)), ':[0-9]+$', ''), '^www\\.', '')")
+    path = (f"CASE WHEN regexp_extract({url_sql},"
+            f" '{_SCHEME}[^/?#]*([/?][^#]*)?', 1) = '' THEN '/'"
+            f" ELSE regexp_extract({url_sql},"
+            f" '{_SCHEME}[^/?#]*([/?][^#]*)?', 1) END")
+    return (f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+            f" || ')' || {path}")

@@ -235,3 +235,108 @@ def connected_components_sql(edges_sql: str, iterations: int = 6) -> str:
         f" min(node) AS min_node FROM l{iterations} GROUP BY label"
     )
     return "\n".join(parts).replace("),\nSELECT", ")\nSELECT")
+
+
+# ---- HITS (hubs & authorities) ------------------------------------------------
+
+HITS_SCALE = 10**6
+
+
+def hits_fixed(edges: DataFrame, iterations: int = 2,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) over a directed edge list —
+    hub/authority scoring for crawl frontier prioritization (a page linked
+    by good hubs is worth fetching early; a page linking to good
+    authorities is worth re-parsing).
+
+    Same determinism contract as pagerank_fixed: scores are BIGINTs scaled
+    by 10^6, each iteration is
+        auth(v) = SUM_{(u,v)} hub(u);   auth *= SCALE DIV max(auth)
+        hub(u)  = SUM_{(u,v)} auth(v);  hub  *= SCALE DIV max(hub)
+    with max-normalization instead of the usual L2 norm — a sqrt would
+    leave integer arithmetic. BIGINT sums are associative and `DIV` exact,
+    so any partitioning yields the identical result. Overflow headroom:
+    scores <= 10^6 after normalization, so a node needs > 9*10^12 in-edges
+    to overflow a BIGINT sum.
+
+    Scale shape mirrors pagerank_fixed: edges are cached
+    repartition+sorted once; per iteration only the skinny (node, score)
+    table shuffles; the normalization max is a 1-row agg joined back via
+    crossJoin(broadcast) — no driver round-trip.
+
+    Returns (node BIGINT, hub_fp BIGINT, auth_fp BIGINT)."""
+    e = (_edges_long(edges, src, dst)
+         .repartition("src").sortWithinPartitions("src").persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("s"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (e.alias("e")
+                 .join(hub.alias("h"), F.col("e.src") == F.col("h.node"))
+                 .groupBy(F.col("e.dst").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_max))
+                .select("node", F.expr(
+                    f"(coalesce(raw, 0L) * {HITS_SCALE}) DIV mx")
+                    .cast("long").alias("s")))
+        h_raw = (e.alias("e")
+                 .join(auth.alias("a"), F.col("e.dst") == F.col("a.node"))
+                 .groupBy(F.col("e.src").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hub = (nodes.join(h_raw, "node", "left")
+               .crossJoin(F.broadcast(h_max))
+               .select("node", F.expr(
+                   f"(coalesce(raw, 0L) * {HITS_SCALE}) DIV mx")
+                   .cast("long").alias("s")))
+    return (hub.alias("h")
+            .join(auth.alias("a"), F.col("h.node") == F.col("a.node"))
+            .select(F.col("h.node").alias("node"),
+                    F.col("h.s").alias("hub_fp"),
+                    F.col("a.s").alias("auth_fp")))
+
+
+def hits_sql(edges_sql: str, iterations: int = 2) -> str:
+    """DuckDB oracle for hits_fixed: the identical integer recurrence,
+    iterations unrolled as MATERIALIZED CTEs (see pagerank_sql for why
+    MATERIALIZED is load-bearing)."""
+    S = HITS_SCALE
+    parts = [
+        "WITH edges AS MATERIALIZED"
+        f" (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        f"h0 AS MATERIALIZED (SELECT node, {S}::BIGINT AS s FROM nodes),",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT n.node,"
+            f" (coalesce(r.raw, 0) * {S}) //"
+            f" (SELECT max(raw) FROM (SELECT e.dst, sum(h.s) AS raw"
+            f" FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst))"
+            " AS s FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, sum(h.s) AS raw"
+            f" FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst"
+            ") r ON n.node = r.node),"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT n.node,"
+            f" (coalesce(r.raw, 0) * {S}) //"
+            f" (SELECT max(raw) FROM (SELECT e.src, sum(a.s) AS raw"
+            f" FROM edges e JOIN a{i + 1} a ON e.dst = a.node"
+            " GROUP BY e.src))"
+            " AS s FROM nodes n LEFT JOIN ("
+            "SELECT e.src AS node, sum(a.s) AS raw"
+            f" FROM edges e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src"
+            ") r ON n.node = r.node),"
+        )
+    parts.append(
+        f"SELECT h.node, h.s AS hub_fp, a.s AS auth_fp"
+        f" FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
+    )
+    sql = "\n".join(parts)
+    return sql.replace("),\nSELECT", ")\nSELECT")
