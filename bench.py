@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "warc_roundtrip", "sitemap_extract", "kmeans",
     "mixture_sample", "stratified_topn", "pack_sequences",
     "trap_urls", "robots_sitemap", "recrawl_schedule",
+    # round-5 session 4: exact-substring span dedup, C4 line filters,
+    # TF-IDF keywording, SURT/CDX archive index, HLL cardinality sketch,
+    # HITS hubs/authorities
+    "dup_span_stats", "c4_filters", "tfidf_topk",
+    "cdx_index", "hll_cardinality", "hits",
 ]
 
 

@@ -195,3 +195,26 @@ def test_cc_plan_no_cartesian_and_reuses_cached_closure(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """The per-doc top-k must be a rank-pushdown (WindowGroupLimit), never a
+    full per-partition sort + filter of the whole scored table."""
+    from transmogrify_webcrawler_spark.operators.textops import tfidf_topk
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11} common") for i in range(100)],
+        "doc_id long, text string")
+    plan = tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cdx_index_has_no_global_single_partition_stage(spark):
+    """The global capture index is a two-phase prefix sum — a plan that
+    funnels all rows through Exchange SinglePartition (the global
+    row_number shape) is a scale regression."""
+    from transmogrify_webcrawler_spark.operators.cdx import cdx_index
+    df = spark.createDataFrame(
+        [(f"http://h{i % 9}.example.com/p{i}",) for i in range(300)],
+        "url string").repartition(6)
+    plan = cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
