@@ -110,3 +110,31 @@ def test_hll_accuracy_and_partition_invariance(spark):
     assert one == many                      # bit-exact under repartitioning
     # raw-HLL sigma at m=256 is ~6.5%; allow 4 sigma
     assert abs(one["hll_estimate"] - 5000) / 5000 < 0.26
+
+
+def test_robots_rules_semantics(spark):
+    from transmogrify_webcrawler_spark.operators.robots_rules import (
+        robots_evaluate)
+    rules = spark.createDataFrame(
+        [("a", False, "/private/*"), ("a", True, "/private/pub*"),
+         ("a", False, "/*.gif$"), ("a", False, "/t*"), ("a", True, "/t*")],
+        "domain string, allow boolean, pattern string")
+    urls = spark.createDataFrame(
+        [("a", "/private/doc"), ("a", "/private/pub/ok"),
+         ("a", "/x.gif"), ("a", "/x.gifs"), ("a", "/tie"),
+         ("a", "/free"), ("b", "/anything")],
+        "domain string, path string")
+    out = {(r["domain"], r["path"]): (r["allowed"], r["winner_pattern"])
+           for r in robots_evaluate(urls, rules).collect()}
+    assert out[("a", "/private/doc")] == (False, "/private/*")
+    # longer allow overrides shorter disallow
+    assert out[("a", "/private/pub/ok")] == (True, "/private/pub*")
+    # trailing $ anchors ...
+    assert out[("a", "/x.gif")] == (False, "/*.gif$")
+    # ... and must NOT match a longer path
+    assert out[("a", "/x.gifs")] == (True, "")
+    # length tie -> allow (least restrictive)
+    assert out[("a", "/tie")] == (True, "/t*")
+    # no matching rule / no rules for the domain -> allowed
+    assert out[("a", "/free")] == (True, "")
+    assert out[("b", "/anything")] == (True, "")

@@ -71,3 +71,35 @@ def test_binaryfile_read_path(spark, tmp_path):
     assert uris[0] == "https://f0.example/0"
     assert all(r["content_length"] == len(f"doc x-{u.rsplit('/', 1)[1]}")
                for u, r in zip(uris, sorted(out, key=lambda r: r["target_uri"])))
+
+
+def test_wet_conversion_roundtrip_and_refers_to(spark):
+    from transmogrify_webcrawler_spark.sources.warc import (
+        build_conversion_record, parse_warc_bytes, synthesize_wet,
+        warc_records)
+    import uuid
+
+    # unit: a conversion record parses back with its text payload and
+    # points at the response record's uuid5(url) id
+    rec = build_conversion_record("https://a.org/x", "hello text".encode())
+    parsed = list(parse_warc_bytes(rec))
+    assert parsed[0]["warc_type"] == "conversion"
+    assert parsed[0]["payload"] == b"hello text"
+    raw = rec.decode("ascii")
+    assert f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, 'https://a.org/x')}>" \
+        in raw
+
+    # distributed: synthesize -> parse round trip, partition-invariant bytes
+    docs = spark.createDataFrame(
+        [(f"https://a.org/{i}", f"text {i}") for i in range(40)],
+        "url string, text string")
+    a = {r["file_id"]: bytes(r["warc"]) for r in
+         synthesize_wet(docs.coalesce(1), n_files=4).collect()}
+    b = {r["file_id"]: bytes(r["warc"]) for r in
+         synthesize_wet(docs.repartition(8), n_files=4).collect()}
+    assert a == b
+    out = warc_records(synthesize_wet(docs, n_files=4, compress=True)) \
+        .filter("warc_type = 'conversion'").collect()
+    assert len(out) == 40
+    assert {r["target_uri"] for r in out} == \
+        {f"https://a.org/{i}" for i in range(40)}

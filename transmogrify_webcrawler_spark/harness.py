@@ -739,6 +739,32 @@ FROM documents
 """
 
 
+def q_wet_export(spark, sf_dir):
+    """WET (extracted-text conversion records) round-trip — the Common
+    Crawl text-distribution layout: pack documents into per-record-gzipped
+    WET blobs, parse them back with the same stdlib record reader, one row
+    per conversion record. Oracle = plain projection; equality proves the
+    conversion framing and text bytes survive."""
+    from .sources.warc import synthesize_wet, warc_records
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    recs = warc_records(synthesize_wet(docs, n_files=8, compress=True))
+    return (recs.filter(F.col("warc_type") == "conversion")
+            .select(F.col("target_uri").alias("url"),
+                    "content_length", "payload_sha256"))
+
+
+SQL_WET_EXPORT = """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       octet_length(encode(text)) AS content_length,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
 def q_sitemap_extract(spark, sf_dir):
     """Sitemap round-trip: build per-domain sitemaps.org XML from a URL
     universe (Catalyst concat over sorted collect_list), then extract the
@@ -1816,6 +1842,76 @@ FROM ev
 """
 
 
+def q_robots_rules(spark, sf_dir):
+    """RFC 9309 wildcard robots evaluation, non-vacuous by construction:
+    the url fixture exercises every semantic — '*' wildcards, trailing-'$'
+    anchors (and a near-miss that must NOT anchor-match), longest-match
+    precedence (a longer allow overriding a shorter disallow), the
+    length-tie -> allow rule, per-domain rule-set differences, and the
+    no-match default-allow."""
+    from .operators.robots_rules import robots_evaluate
+
+    pk = F.col("p_partkey")
+    # domain derives from pk DIV 6 so every path class hits BOTH domain
+    # parities (pk % 6 pins pk's parity; pk % 10 would alias it)
+    dom = F.concat(F.lit("d"), (F.expr("p_partkey DIV 6") % 10)
+                   .cast("string"))
+    path = (
+        F.when(pk % 6 == 0, F.concat(F.lit("/private/doc"),
+                                     pk.cast("string")))
+        .when(pk % 6 == 1, F.concat(F.lit("/private/pub/x"),
+                                    pk.cast("string")))
+        .when(pk % 6 == 2, F.concat(F.lit("/img/"), pk.cast("string"),
+                                    F.lit(".gif")))
+        .when(pk % 6 == 3, F.concat(F.lit("/img/"), pk.cast("string"),
+                                    F.lit(".gifx")))
+        .when(pk % 6 == 4, F.concat(F.lit("/dup/y"), pk.cast("string")))
+        .otherwise(F.lit("/tmp")))
+    urls = (_read(spark, sf_dir, "part")
+            .select(dom.alias("domain"), path.alias("path")).distinct())
+
+    def rule(allow, pattern):
+        return F.struct(F.lit(allow).alias("allow"),
+                        F.lit(pattern).alias("pattern"))
+
+    base = F.array(rule(False, "/private/*"), rule(True, "/private/pub*"),
+                   rule(False, "/*.gif$"),
+                   rule(False, "/dup*"), rule(True, "/dup*"))
+    extra = (F.when(F.col("id") % 2 == 0, F.array(rule(False, "/tmp$")))
+             .otherwise(F.array().cast(
+                 "array<struct<allow:boolean,pattern:string>>")))
+    rules = (spark.range(10)
+             .select(F.concat(F.lit("d"), F.col("id").cast("string"))
+                     .alias("domain"),
+                     F.explode(F.concat(base, extra)).alias("r"))
+             .select("domain", "r.allow", "r.pattern"))
+    return robots_evaluate(urls, rules)
+
+
+def _sql_robots_rules() -> str:
+    from .operators.robots_rules import robots_evaluate_sql
+    urls = """
+SELECT DISTINCT 'd' || ((p_partkey // 6) % 10) AS domain,
+  CASE WHEN p_partkey % 6 = 0 THEN '/private/doc' || p_partkey
+       WHEN p_partkey % 6 = 1 THEN '/private/pub/x' || p_partkey
+       WHEN p_partkey % 6 = 2 THEN '/img/' || p_partkey || '.gif'
+       WHEN p_partkey % 6 = 3 THEN '/img/' || p_partkey || '.gifx'
+       WHEN p_partkey % 6 = 4 THEN '/dup/y' || p_partkey
+       ELSE '/tmp' END AS path
+FROM part"""
+    rules = """
+SELECT 'd' || i AS domain, u.allow AS allow, u.pattern AS pattern
+FROM range(10) t(i), (SELECT unnest([
+    {'allow': FALSE, 'pattern': '/private/*'},
+    {'allow': TRUE,  'pattern': '/private/pub*'},
+    {'allow': FALSE, 'pattern': '/*.gif$'},
+    {'allow': FALSE, 'pattern': '/dup*'},
+    {'allow': TRUE,  'pattern': '/dup*'}]) AS u)
+UNION ALL
+SELECT 'd' || i, FALSE, '/tmp$' FROM range(10) t(i) WHERE i % 2 = 0"""
+    return robots_evaluate_sql(urls, rules)
+
+
 def q_cdx_index(spark, sf_dir):
     """SURT-keyed CDX capture index over constructed URLs exercising every
     rule (mixed case, www/port stripping, query kept, fragment dropped).
@@ -1956,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
         "kmeans": q_kmeans,
         "mixture_sample": q_mixture_sample,
@@ -1969,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "cdx_index": q_cdx_index,
         "hll_cardinality": q_hll_cardinality,
+        "robots_rules": q_robots_rules,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "pagerank": q_pagerank,
@@ -2029,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+        "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,
         "kmeans": _sql_kmeans(),
         "mixture_sample": _sql_mixture_sample(),
@@ -2042,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": SQL_TFIDF,
         "cdx_index": SQL_CDX_INDEX,
         "hll_cardinality": _sql_hll_cardinality(),
+        "robots_rules": _sql_robots_rules(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": _sql_dup_clusters(),
         "pagerank": _sql_pagerank(),

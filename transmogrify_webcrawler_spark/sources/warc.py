@@ -62,6 +62,26 @@ def build_response_record(url: str, payload: bytes, status: int = 200,
     return head + http + CRLF + CRLF
 
 
+def build_conversion_record(url: str, text: bytes) -> bytes:
+    """One WARC/1.0 'conversion' record — the WET layout (Common Crawl's
+    extracted-text distribution): plain-text payload, WARC-Refers-To the
+    response record the text was derived from (same uuid5(URL) scheme, so
+    the pointer is reconstructible without the response file)."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, "conversion:" + url)
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{refers}>\r\n"
+        f"WARC-Date: {_WARC_DATE}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode("ascii")
+    return head + text + CRLF + CRLF
+
+
 def build_warcinfo_record(filename: str) -> bytes:
     """The warcinfo header record real WARC files open with (parsers must
     skip records they don't want — this keeps ours honest)."""
@@ -142,6 +162,9 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             parts = status_line.split(" ")
             rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
             rec["payload"] = payload
+        elif rec["warc_type"] == "conversion":
+            # WET records carry the text directly — no HTTP envelope
+            rec["payload"] = block
         yield rec
 
 
@@ -193,6 +216,35 @@ def synthesize_warc(df, url_col: str = "url", payload_col: str = "payload",
         items = sorted(
             (u, bytes(p)) for u, p in zip(pdf[url_col], pdf[payload_col]))
         blob = build_warc_file(items, f"part-{fid:05d}.warc", compress)
+        return pd.DataFrame({"file_id": [fid], "warc": [blob]})
+
+    with_fid = df.withColumn(
+        "file_id", F.crc32(F.col(url_col).cast("binary")) % n_files)
+    return (with_fid.groupBy("file_id")
+            .applyInPandas(pack, schema="file_id int, warc binary"))
+
+
+def synthesize_wet(df, url_col: str = "url", text_col: str = "text",
+                   n_files: int = 32, compress: bool = False):
+    """WET twin of synthesize_warc: pack (url, text) rows into n_files WET
+    blobs of 'conversion' records (warcinfo first, urls sorted within each
+    file — archive bytes are a pure function of the input set). The same
+    warc_records reader parses the result; conversion rows carry the text
+    bytes as their payload."""
+    from pyspark.sql import functions as F
+
+    def pack(key, pdf):
+        import pandas as pd
+        fid = int(key[0])
+        items = sorted(
+            (u, t.encode("utf-8") if isinstance(t, str) else bytes(t))
+            for u, t in zip(pdf[url_col], pdf[text_col]))
+        chunks = [build_warcinfo_record(f"part-{fid:05d}.warc.wet")]
+        chunks += [build_conversion_record(u, t) for u, t in items]
+        if compress:
+            blob = b"".join(gzip.compress(c, 6, mtime=0) for c in chunks)
+        else:
+            blob = b"".join(chunks)
         return pd.DataFrame({"file_id": [fid], "warc": [blob]})
 
     with_fid = df.withColumn(
