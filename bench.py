@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     # HITS hubs/authorities
     "dup_span_stats", "c4_filters", "tfidf_topk",
     "cdx_index", "hll_cardinality", "hits",
-    "robots_rules", "wet_export",
+    "robots_rules", "wet_export", "minhash_incremental",
 ]
 
 

@@ -138,3 +138,21 @@ def test_robots_rules_semantics(spark):
     # no matching rule / no rules for the domain -> allowed
     assert out[("a", "/free")] == (True, "")
     assert out[("b", "/anything")] == (True, "")
+
+
+def test_minhash_probe_finds_twin_without_touching_corpus(spark):
+    from transmogrify_webcrawler_spark.operators.textops import (
+        minhash_index, minhash_probe)
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta")
+         for i in range(30)], "doc_id long, text string")
+    bands_t, sigs_t = minhash_index(base)
+    # new batch: a perturbed twin of doc 7 + one genuinely novel doc
+    new = spark.createDataFrame(
+        [(1007, "ALPHA  BETA GAMMA DELTA  EPSILON DOC7 ZETA ETA THETA"),
+         (1008, "totally different words nothing shared at all here now")],
+        "doc_id long, text string")
+    out = minhash_probe(new, bands_t, sigs_t, threshold=1.0).collect()
+    hits = {(r["new_id"], r["old_id"], r["est_jaccard"]) for r in out}
+    assert (1007, 7, 1.0) in hits
+    assert all(n != 1008 for n, _, _ in hits)

@@ -1167,6 +1167,47 @@ def q_minhash_verified(spark, sf_dir):
 SQL_MINHASH_VERIFIED = SQL_NGRAM_JACCARD.replace("0.2", "0.95")
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental LSH dedup, ORACLE-CHECKED recall: the corpus is indexed
+    once (minhash_index); a NEW batch of case/whitespace-perturbed twins
+    (doc_id + 1000000, identical token set -> identical signature) probes
+    the index. Every normalized-text-equal (twin, old) pair — SQL-computable
+    — must surface from the probe at est_jaccard = 1.0 (identical
+    signatures can't miss: every band collides). Output = fp-equal pairs
+    joined to their probe rows; oracle = the fp-equal pairs with 1.0 —
+    equality asserts 100% recall of the index-probe path."""
+    from .operators.textops import minhash_index, minhash_probe, words_expr
+
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.size(words_expr(F.col("text"))) >= 3)
+    twin = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"))
+    idx_bands, idx_sigs = minhash_index(base)
+    probe = minhash_probe(twin, idx_bands, idx_sigs, threshold=1.0)
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")
+               .cast("binary")).alias("fp")
+    fp_new = twin.select(F.col("doc_id").alias("new_id"), fp)
+    fp_old = base.select(F.col("doc_id").alias("old_id"), fp)
+    pairs = fp_new.join(fp_old, "fp").select("new_id", "old_id")
+    return pairs.join(probe, ["new_id", "old_id"]).select(
+        "new_id", "old_id", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+SQL_MINHASH_INCREMENTAL = """
+WITH w AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) >= 3
+)
+SELECT t.doc_id + 1000000 AS new_id, o.doc_id AS old_id,
+       1.0 AS est_jaccard
+FROM w t JOIN w o ON t.fp = o.fp
+"""
+
+
 def q_simhash_verified(spark, sf_dir):
     """SimHash recall, ORACLE-CHECKED and non-vacuous: the corpus is unioned
     with a case/whitespace-perturbed twin of every document (doc_id +
@@ -2075,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedup_retention": q_dedup_retention,
         "minhash_verified": q_minhash_verified,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "lsh_knn_verified": q_lsh_knn_verified,
@@ -2150,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "dedup_retention": _sql_dedup_retention(),
         "minhash_verified": SQL_MINHASH_VERIFIED,
+        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
         "simhash_verified": SQL_SIMHASH_VERIFIED,
         "knn_cosine": SQL_KNN,
         "lsh_knn_verified": SQL_LSH_KNN_VERIFIED,

@@ -103,16 +103,10 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH, verified by signature
-    similarity >= threshold. Returns (a, b, est_jaccard), a < b.
-
-    Scale shape: candidates come from a self-join on (band_id, band_hash) —
-    only docs agreeing on a whole band ever meet. est_jaccard from the full
-    signatures (unbiased Jaccard estimator)."""
+def _banded(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a signature table: each band is
+    one xxhash64 over its slice of the signature (seeded by the band id)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, shingle_n).persist()
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -124,9 +118,20 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 64, bands: int = 16,
             ),
         )
     )
-    banded = sig.select("doc_id", band_cols.alias("bd")).select(
-        "doc_id", "bd.band_id", "bd.band_hash"
-    )
+    return sig.select("doc_id", band_cols.alias("bd")).select(
+        "doc_id", "bd.band_id", "bd.band_hash")
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature
+    similarity >= threshold. Returns (a, b, est_jaccard), a < b.
+
+    Scale shape: candidates come from a self-join on (band_id, band_hash) —
+    only docs agreeing on a whole band ever meet. est_jaccard from the full
+    signatures (unbiased Jaccard estimator)."""
+    sig = minhash_signatures(docs, num_perm, shingle_n).persist()
+    banded = _banded(sig, num_perm, bands)
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_hash"])
@@ -142,6 +147,54 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 64, bands: int = 16,
         .select(
             "a", "b",
             (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                        lambda x, y: x == y),
+                             lambda eq: eq))
+             / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_index(docs: DataFrame, num_perm: int = 64, bands: int = 16,
+                  shingle_n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTED LSH index a continuous crawl maintains: returns
+    (bands, signatures) — bands = (doc_id, band_id, band_hash), signatures
+    = (doc_id, sig, n_shingles). A production pipeline writes both as
+    tables bucketed on (band_id, band_hash) and doc_id respectively; new
+    batches then dedup against the whole corpus WITHOUT self-joining or
+    re-signing it (minhash_probe)."""
+    sig = minhash_signatures(docs, num_perm, shingle_n)
+    return _banded(sig, num_perm, bands), sig
+
+
+def minhash_probe(new_docs: DataFrame, index_bands: DataFrame,
+                  index_sigs: DataFrame, num_perm: int = 64,
+                  bands: int = 16, threshold: float = 0.5,
+                  shingle_n: int = 3) -> DataFrame:
+    """Incremental near-dup lookup: dedup a NEW batch against an existing
+    corpus index. This is the continuous-crawl shape — at 100 TB the corpus
+    is never re-processed; only the (small) new batch signs and bands
+    map-side, probes the bucketed band table (a co-located join when the
+    index is bucketed on (band_id, band_hash)), and verifies candidates
+    against the signature table by doc id. Returns
+    (new_id, old_id, est_jaccard) with est >= threshold."""
+    new_sig = minhash_signatures(new_docs, num_perm, shingle_n).persist()
+    new_banded = _banded(new_sig, num_perm, bands)
+    cand = (
+        new_banded.alias("n")
+        .join(index_bands.alias("o"), ["band_id", "band_hash"])
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    est = (
+        cand.join(new_sig.select(F.col("doc_id").alias("new_id"),
+                                 F.col("sig").alias("sig_n")), "new_id")
+        .join(index_sigs.select(F.col("doc_id").alias("old_id"),
+                                F.col("sig").alias("sig_o")), "old_id")
+        .select(
+            "new_id", "old_id",
+            (F.size(F.filter(F.zip_with("sig_n", "sig_o",
                                         lambda x, y: x == y),
                              lambda eq: eq))
              / F.lit(float(num_perm))).alias("est_jaccard"),
