@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "dup_span_stats", "c4_filters", "tfidf_topk",
     "cdx_index", "hll_cardinality", "hits",
     "robots_rules", "wet_export", "minhash_incremental",
+    # round-5 session 5: end-to-end cleaning verdict (keep/drop + reason)
+    "cleaning_decision",
 ]
 
 

@@ -711,6 +711,57 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_cleaning_decision(spark, sf_dir):
+    """The END-TO-END cleaning verdict — one keep/drop + reason row per
+    document, composed from exact-dedup canonical, language-ID, Gopher
+    quality, and the repetition profile (first failing stage wins).
+    Non-vacuous: the corpus is unioned with perturbed twins (doc_id +
+    1000000, identical normalized text) so the 'duplicate' branch provably
+    fires alongside the quality/language/repetition branches."""
+    from .operators.pipeline import cleaning_decision
+
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"))
+    return cleaning_decision(base.unionByName(twin))
+
+
+def _sql_cleaning_decision() -> str:
+    uni = ("SELECT doc_id, text FROM documents UNION ALL "
+           "SELECT doc_id + 1000000 AS doc_id, "
+           "regexp_replace(upper(text), ' ', '  ', 'g') AS text "
+           "FROM documents")
+    gopher = SQL_GOPHER.replace("FROM documents", f"FROM ({uni})")
+    rep = SQL_REPETITION.replace("FROM documents", f"FROM ({uni})")
+    lang = SQL_LANG_ID.replace("FROM documents", f"FROM ({uni})")
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+  FROM ({uni})
+), canon AS (
+  SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY 1
+), d AS (
+  SELECT fp.doc_id, canonical_id,
+         fp.doc_id = canonical_id AS is_canonical
+  FROM fp JOIN canon USING (f)
+), g AS (SELECT doc_id, passes_gopher FROM ({gopher})),
+r AS (SELECT doc_id, dup_gram_frac FROM ({rep})),
+l AS (SELECT doc_id, lang_pred FROM ({lang}))
+SELECT d.doc_id, d.canonical_id, d.is_canonical, g.passes_gopher,
+       r.dup_gram_frac, l.lang_pred,
+       (d.is_canonical AND l.lang_pred = 'en' AND g.passes_gopher
+        AND r.dup_gram_frac < 0.5) AS keep,
+       CASE WHEN NOT d.is_canonical THEN 'duplicate'
+            WHEN l.lang_pred <> 'en' THEN 'language'
+            WHEN NOT g.passes_gopher THEN 'quality'
+            WHEN r.dup_gram_frac >= 0.5 THEN 'repetition'
+            ELSE '' END AS reason
+FROM d JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN l USING (doc_id)
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip: pack documents into per-record-gzipped
     WARC blobs (the Common-Crawl layout), parse them back with the stdlib
@@ -2092,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "cleaning_decision": q_cleaning_decision,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2168,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": SQL_GOPHER,
         "repetition_stats": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
+        "cleaning_decision": _sql_cleaning_decision(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,
