@@ -64,8 +64,10 @@ BENCH_QUERIES = [
     "dup_span_stats", "c4_filters", "tfidf_topk",
     "cdx_index", "hll_cardinality", "hits",
     "robots_rules", "wet_export", "minhash_incremental",
-    # round-5 session 5: end-to-end cleaning verdict (keep/drop + reason)
-    "cleaning_decision",
+    # round-5 session 5: end-to-end cleaning verdict (keep/drop + reason),
+    # sort-free exact percentiles, recrawl snapshot diff, NFC normalization
+    "cleaning_decision", "exact_quantiles", "snapshot_delta",
+    "normalize_text", "bpe_merges", "bpe_encode", "cms_topk",
 ]
 
 

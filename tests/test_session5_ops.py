@@ -1,0 +1,129 @@
+"""Session-5 operators: exact distributed quantiles, recrawl snapshot
+delta, Unicode text normalization."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def test_exact_quantiles_match_percentile_disc(spark):
+    """The two-phase histogram quantile equals SQL PERCENTILE_DISC for an
+    awkward multiset (ties, gaps, skew) at several q."""
+    from transmogrify_webcrawler_spark.operators.quantiles import (
+        exact_quantiles)
+
+    values = ([5] * 10 + [7] * 3 + [100] * 20 + [101] + [9999] * 5
+              + list(range(200, 260)))
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    q_bps = [1, 2500, 5000, 7500, 9000, 9900, 10000]
+    got = {r["q_bp"]: (r["value"], r["n_rows"])
+           for r in exact_quantiles(df, "x", q_bps, block=16).collect()}
+    con = duckdb.connect()
+    for q in q_bps:
+        (want,) = con.execute(
+            "SELECT percentile_disc(?) WITHIN GROUP (ORDER BY x) "
+            "FROM (SELECT unnest(?) AS x)", [q / 10000, values]).fetchone()
+        assert got[q] == (want, len(values)), (q, got[q], want)
+
+
+def test_exact_quantiles_no_global_single_partition(spark):
+    """The prefix sum must stay block-partitioned — a plan that funnels the
+    histogram through Exchange SinglePartition is the global-window
+    regression this operator exists to avoid."""
+    from transmogrify_webcrawler_spark.operators.quantiles import (
+        exact_quantiles)
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("x"))
+    plan = (exact_quantiles(df, "x", [5000], block=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_delta_statuses(spark):
+    from transmogrify_webcrawler_spark.operators.delta import (
+        delta_summary, snapshot_delta)
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, digest string")
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2x"), ("d", "h4")], "url string, digest string")
+    got = {r["url"]: r["status"]
+           for r in snapshot_delta(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "gone",
+                   "d": "added"}
+    counts = {r["status"]: r["n"]
+              for r in delta_summary(snapshot_delta(old, new)).collect()}
+    assert counts == {"unchanged": 1, "changed": 1, "gone": 1, "added": 1}
+
+
+def test_bpe_merges_known_sequence(spark):
+    """The Sennrich toy corpus: low x3, lower x2, newest x1 — the first
+    merges are (l,o) [lexicographic tie with (o,w) at weight 5], then
+    (lo,w), then (e,r) [tie with (low,e) at 2], then (low,er)."""
+    from transmogrify_webcrawler_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower lower newest",)], "text string")
+    got = [(r["round"], r["left"], r["right"], r["merged"], r["weight"])
+           for r in bpe_merges(df, k=4).orderBy("round").collect()]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+        (4, "low", "er", "lower", 2),
+    ]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from transmogrify_webcrawler_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "the the cat")],
+                               "doc_id long, text string")
+    (r,) = bpe_encode(df, [("t", "h"), ("th", "e")]).collect()
+    # 'the' x2 collapses to ONE symbol each via (t,h) then (th,e);
+    # 'cat' stays 3 chars -> 2*1 + 3 = 5 tokens over 3 words
+    assert (r["n_words"], r["n_tokens"]) == (3, 5)
+
+
+def test_cms_never_undercounts_and_stays_bounded(spark):
+    """One-sided CMS guarantee (est >= exact for EVERY key) on a skewed
+    multiset, and the counter table stays <= d*w rows regardless of key
+    cardinality."""
+    from transmogrify_webcrawler_spark.operators.sketches import (
+        CMS_D, CMS_W, cms_counters, cms_estimate)
+
+    words = (["hot"] * 50 + ["warm"] * 10
+             + [f"cold{i}" for i in range(300)])
+    df = spark.createDataFrame([(w,) for w in words], "k string")
+    counters = cms_counters(df, "k")
+    assert counters.count() <= CMS_D * CMS_W
+    exact = {w: words.count(w) for w in set(words)}
+    est = {r["k"]: r["cms_est"]
+           for r in cms_estimate(counters, df, "k").collect()}
+    assert set(est) == set(exact)
+    for w, c in exact.items():
+        assert est[w] >= c, (w, est[w], c)
+    # the dominant key collides with at most the residual mass
+    assert est["hot"] < 50 + 310
+
+
+def test_normalize_text_semantics(spark):
+    """NFC composes combining marks, controls are stripped, whitespace
+    collapses — and the result is a fixed point (idempotence)."""
+    from transmogrify_webcrawler_spark.operators.textops import (
+        normalize_text)
+
+    messy = "Café\x07  x\t y Å"
+    df = spark.createDataFrame([(1, messy), (2, "plain text")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert rows[1]["norm_text"] == "Café x y Å"
+    assert rows[1]["changed"] is True
+    assert rows[2]["norm_text"] == "plain text"
+    assert rows[2]["changed"] is False
+
+    again = spark.createDataFrame(
+        [(1, rows[1]["norm_text"])], "doc_id long, text string")
+    (r2,) = normalize_text(again).collect()
+    assert r2["norm_text"] == rows[1]["norm_text"]
+    assert r2["changed"] is False

@@ -14,6 +14,8 @@ spark.sql.execution.arrow.maxRecordsPerBatch (see plans/crawl.py).
 
 from __future__ import annotations
 
+import unicodedata
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -119,6 +121,17 @@ def crawl_delay_udf(robots_txt: pd.Series, agent: pd.Series) -> pd.Series:
     return pd.Series(
         [crawl_delay(r, a) for r, a in zip(robots_txt, agent)], dtype=object
     )
+
+
+@pandas_udf(StringType())
+def nfc_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC composition (unicodedata.normalize). Canonical
+    composition is stability-guaranteed by Unicode policy, so the result is
+    engine-portable: DuckDB's utf8proc nfc_normalize produces identical
+    bytes for the same input — the cross-engine oracle for
+    textops.normalize_text rests on that guarantee."""
+    return text.map(
+        lambda t: unicodedata.normalize("NFC", t), na_action="ignore")
 
 
 @pandas_udf(BooleanType())

@@ -762,6 +762,159 @@ FROM d JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN l USING (doc_id)
 """
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact distributed percentiles of document length: value-histogram +
+    two-phase prefix sum — PERCENTILE_DISC semantics without ever sorting
+    the rows globally (operators/quantiles.py)."""
+    from .operators.quantiles import exact_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars",
+                           [100, 2500, 5000, 9000, 9900, 10000])
+
+
+def _sql_exact_quantiles() -> str:
+    from .operators.quantiles import exact_quantiles_sql
+    return exact_quantiles_sql("SELECT n_chars FROM documents", "n_chars",
+                               [100, 2500, 5000, 9000, 9900, 10000])
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Recrawl snapshot diff over deterministically-perturbed twins of the
+    documents table: old drops doc_id%10==0 (-> 'added' in new), new drops
+    doc_id%10==5 (-> 'gone'), doc_id%7==0 rewrites the text (-> 'changed');
+    the rest are 'unchanged' — all four statuses provably fire."""
+    from .operators.delta import snapshot_delta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = (docs.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id", F.md5(F.col("text").cast("binary"))
+                   .alias("digest")))
+    new_text = F.when(F.col("doc_id") % 7 == 0,
+                      F.concat(F.col("text"), F.lit(" v2"))) \
+                .otherwise(F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 10 != 5)
+           .select("doc_id", F.md5(new_text.cast("binary")).alias("digest")))
+    return snapshot_delta(old, new, key_col="doc_id")
+
+
+def _sql_snapshot_delta() -> str:
+    from .operators.delta import snapshot_delta_sql
+    old = ("SELECT doc_id, md5(text) AS digest FROM documents "
+           "WHERE doc_id % 10 <> 0")
+    new = ("SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 "
+           "THEN text || ' v2' ELSE text END) AS digest "
+           "FROM documents WHERE doc_id % 10 <> 5")
+    return snapshot_delta_sql(old, new, key_sql="doc_id",
+                              digest_sql="digest")
+
+
+# messy-suffix codepoints for the NFC fixture: ' Cafe' + COMBINING ACUTE
+# (composes to é), BEL (control -> stripped), ANGSTROM SIGN (NFC-maps to
+# U+00C5 Å), double space (collapses). Built from codepoints on BOTH sides
+# so no raw control byte ever has to survive a SQL literal.
+_NFC_SUFFIX_CPS = [0x20, 0x43, 0x61, 0x66, 0x65, 0x301, 0x7, 0x20, 0x20,
+                   0x212B, 0x78]
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode canonical form (NFC + control strip + whitespace collapse):
+    doc_id%3==0 rows get a combining-accent/control suffix so the NFC and
+    strip branches provably fire; Unicode's normalization stability
+    guarantee makes Python's unicodedata and DuckDB's utf8proc byte-equal."""
+    from .operators.textops import normalize_text
+
+    suffix = "".join(chr(c) for c in _NFC_SUFFIX_CPS)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(suffix)))
+         .otherwise(F.col("text")).alias("text"))
+    return normalize_text(docs)
+
+
+def _sql_normalize_text() -> str:
+    from .operators.textops import normalize_text_sql
+    suffix = " || ".join(f"chr({c})" for c in _NFC_SUFFIX_CPS)
+    fx = (f"SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+          f"THEN text || {suffix} ELSE text END AS text FROM documents")
+    return normalize_text_sql(fx)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 6 BPE merges learned over the corpus word-frequency table —
+    exact integer pair weights + lexicographic tie-break make the merge
+    sequence engine-portable (operators/bpe.py)."""
+    from .operators.bpe import bpe_merges
+
+    return bpe_merges(_read(spark, sf_dir, "documents"), k=6)
+
+
+def _sql_bpe_merges() -> str:
+    from .operators.bpe import bpe_merges_sql
+    return bpe_merges_sql("SELECT text FROM documents", k=6)
+
+
+# the first 8 merges a run of bpe_merges learns on the sf0.001/sf0.01
+# documents fixture would be corpus-dependent; the ENCODE contract is
+# "apply THIS merge list" — so the harness pins a fixed, realistic English
+# merge sequence and both engines apply it identically.
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                     ("e", "r"), ("o", "n"), ("an", "d"), ("in", "g")]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE application: tokenize every document with a pinned 8-merge
+    list (train-order chained replaces, pure Catalyst) and report
+    words/tokens per doc (operators/bpe.py bpe_encode)."""
+    from .operators.bpe import bpe_encode
+
+    return bpe_encode(_read(spark, sf_dir, "documents"),
+                      _BPE_FIXED_MERGES)
+
+
+def _sql_bpe_encode() -> str:
+    from .operators.bpe import bpe_encode_sql
+    return bpe_encode_sql("SELECT doc_id, text FROM documents",
+                          _BPE_FIXED_MERGES)
+
+
+def q_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters: sketch every word occurrence into a
+    d=4 x w=256 counter table (map-side-combining, <=1024 rows shuffle),
+    then estimate the 20 highest-frequency words and report est vs exact —
+    the one-sided guarantee (est >= exact) rides in every checked row."""
+    from .operators.sketches import cms_counters, cms_estimate
+    from .operators.textops import words_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(words_expr(F.col("text"))).alias("word"))
+    counters = cms_counters(occ, "word")
+    top = (occ.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.col("exact_cnt").desc(), F.col("word")).limit(20))
+    est = cms_estimate(counters, top, "word")
+    return (top.join(est, "word")
+            .select("word", "exact_cnt", "cms_est",
+                    (F.col("cms_est") >= F.col("exact_cnt"))
+                    .alias("never_undercounts")))
+
+
+def _sql_cms_topk() -> str:
+    from .operators.sketches import cms_sql
+    occ = ("SELECT unnest(list_filter(string_split_regex(lower(text),"
+           " '\\s+'), x -> x <> '')) AS word FROM documents")
+    top = (f"SELECT word, count(*) AS exact_cnt FROM ({occ}) "
+           f"GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 20")
+    est = cms_sql(occ, "word", f"SELECT word FROM ({top})")
+    return f"""
+WITH top AS ({top}), est AS ({est})
+SELECT top.word, CAST(top.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est.cms_est AS BIGINT) AS cms_est,
+       est.cms_est >= top.exact_cnt AS never_undercounts
+FROM top JOIN est ON top.word = est.k
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip: pack documents into per-record-gzipped
     WARC blobs (the Common-Crawl layout), parse them back with the stdlib
@@ -2144,6 +2297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "cleaning_decision": q_cleaning_decision,
+        "exact_quantiles": q_exact_quantiles,
+        "snapshot_delta": q_snapshot_delta,
+        "normalize_text": q_normalize_text,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "cms_topk": q_cms_topk,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2221,6 +2380,12 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "cleaning_decision": _sql_cleaning_decision(),
+        "exact_quantiles": _sql_exact_quantiles(),
+        "snapshot_delta": _sql_snapshot_delta(),
+        "normalize_text": _sql_normalize_text(),
+        "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
+        "cms_topk": _sql_cms_topk(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

@@ -79,6 +79,84 @@ def hll_cardinality(df: DataFrame, key) -> DataFrame:
     )
 
 
+CMS_D = 4    # hash rows
+CMS_W = 256  # buckets per row — two md5-hex chars, like the HLL layout
+
+
+def _cms_bucket(r, key):
+    """Row-r bucket for a key: first two hex chars of md5(r || ':' || key)."""
+    h = F.md5(F.concat(r.cast("string"), F.lit(":"),
+                       key.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def cms_counters(df: DataFrame, key) -> DataFrame:
+    """Count-Min sketch counter table (row, bucket, cnt) over one
+    occurrence per input row of `key` (Cormode & Muthukrishnan 2005).
+
+    Why this shape at 100 TB: exact heavy-hitter counting shuffles the full
+    key universe; the CMS collapses every partition to <= d*w = 1024
+    counter rows map-side (partial aggregation), the merge is a plain sum
+    (associative/commutative — the declarative treeAggregate, exactly like
+    hll_cardinality above), and the estimate for any key is min over d
+    counters — deterministic integers, bit-identical on any engine or
+    partitioning, with the one-sided guarantee est >= true count."""
+    key = F.col(key) if isinstance(key, str) else key
+    rows = df.select(key.alias("k"),
+                     F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                     .alias("r"))
+    return (rows.select("r", _cms_bucket(F.col("r"), F.col("k"))
+                        .alias("bucket"))
+            .groupBy("r", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame,
+                 key_col: str) -> DataFrame:
+    """(key_col, cms_est) for each query key: min over the d row counters.
+    The query side is tiny (candidate keys) and broadcasts into the
+    1024-row counter table — no shuffle of anything large."""
+    q = keys.select(F.col(key_col)).distinct()
+    probes = q.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r"))
+    probes = probes.select(
+        key_col, "r",
+        _cms_bucket(F.col("r"), F.col(key_col)).alias("bucket"))
+    j = probes.join(F.broadcast(counters), ["r", "bucket"], "left")
+    return (j.groupBy(key_col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est")))
+
+
+def cms_sql(rows_sql: str, key_sql: str, keys_sql: str) -> str:
+    """DuckDB oracle: identical bucket construction (strpos nibble values
+    stand in for conv) and min-over-rows estimator."""
+    hexv = "strpos('123456789abcdef', {c})"
+
+    def bucket(r, k):
+        h = f"md5(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR))"
+        return (f"(16 * {hexv.format(c=f'substring({h}, 1, 1)')}"
+                f" + {hexv.format(c=f'substring({h}, 2, 1)')})")
+
+    return f"""
+WITH occ AS (
+  SELECT {key_sql} AS k FROM ({rows_sql})
+), counters AS (
+  SELECT r, bucket, count(*) AS cnt FROM (
+    SELECT r, {bucket('r', 'k')} AS bucket
+    FROM occ, range({CMS_D}) t(r)
+  ) GROUP BY 1, 2
+), q AS (
+  SELECT DISTINCT k FROM (SELECT {key_sql} AS k FROM ({keys_sql}))
+), probes AS (
+  SELECT q.k, r, {bucket('r', 'q.k')} AS bucket
+  FROM q, range({CMS_D}) t(r)
+)
+SELECT p.k, min(coalesce(c.cnt, 0)) AS cms_est
+FROM probes p LEFT JOIN counters c USING (r, bucket)
+GROUP BY p.k
+"""
+
+
 def hll_cardinality_sql(rows_sql: str, key_sql: str) -> str:
     """DuckDB oracle: the identical register construction and exact-integer
     estimator (strpos-based nibble values stand in for conv())."""

@@ -759,3 +759,44 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "df",
                     F.round("score", 4).alias("score"), "rank"))
+
+
+# ---- Unicode text normalization ----------------------------------------------
+
+# C0 controls minus \t \n \r, plus DEL — the bytes scrubbed from web text
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Web-text canonical form: Unicode NFC composition, C0-control/DEL
+    strip, ASCII-whitespace collapse, trim. The prerequisite every dedup
+    and fingerprint stage assumes — 'e'+COMBINING ACUTE and precomposed
+    'é' must hash identically or near-dup recall silently drops.
+
+    One pandas-UDF crossing for NFC (no JVM builtin exists); the strip and
+    collapse are Catalyst regexes AROUND it so the Python stage touches each
+    string exactly once. Zero shuffle — a pure map stage at any scale. NFC
+    is stability-guaranteed by Unicode, so DuckDB's utf8proc produces the
+    identical bytes (the oracle equality in the harness).
+
+    Returns (doc_id, norm_text, changed)."""
+    from ..functions.udfs import nfc_udf
+
+    stripped = F.regexp_replace(F.col(text_col), _CTRL_RE, "")
+    norm = F.trim(F.regexp_replace(nfc_udf(stripped), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"))
+
+
+def normalize_text_sql(docs_sql: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB oracle: nfc_normalize (utf8proc) + the same regex pipeline."""
+    stripped = f"regexp_replace({text_col}, '{_CTRL_RE}', '', 'g')"
+    norm = (f"trim(regexp_replace(nfc_normalize({stripped}),"
+            f" '\\s+', ' ', 'g'))")
+    return (f"SELECT {id_col} AS doc_id, {norm} AS norm_text,\n"
+            f"       {norm} <> {text_col} AS changed\nFROM ({docs_sql})")
+
