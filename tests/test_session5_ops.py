@@ -107,6 +107,25 @@ def test_cms_never_undercounts_and_stays_bounded(spark):
     assert est["hot"] < 50 + 310
 
 
+def test_chunk_documents_geometry(spark):
+    """300 tokens at context 128 / stride 96 -> 4 windows with the last
+    two truncated; an empty doc still yields one (0,0) chunk row."""
+    from transmogrify_webcrawler_spark.operators.chunking import (
+        chunk_documents)
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(300))), (2, "")],
+        "doc_id long, text string")
+    rows = sorted((r["doc_id"], r["chunk_id"], r["tok_start"],
+                   r["tok_end"], r["n_chunk_tokens"])
+                  for r in chunk_documents(df, 128, 96).collect())
+    assert rows == [
+        (1, 0, 0, 128, 128), (1, 1, 96, 224, 128),
+        (1, 2, 192, 300, 108), (1, 3, 288, 300, 12),
+        (2, 0, 0, 0, 0),
+    ]
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

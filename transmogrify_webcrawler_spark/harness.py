@@ -915,6 +915,22 @@ FROM top JOIN est ON top.word = est.k
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window LM chunking: 128-token windows, stride 96 (32-token
+    overlap) — one training-example row per window, exact integer
+    arithmetic, pure Catalyst explode (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           context_len=128, stride=96)
+
+
+def _sql_chunk_documents() -> str:
+    from .operators.chunking import chunk_documents_sql
+    return chunk_documents_sql("SELECT doc_id, text FROM documents",
+                               context_len=128, stride=96)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip: pack documents into per-record-gzipped
     WARC blobs (the Common-Crawl layout), parse them back with the stdlib
@@ -2303,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cms_topk": q_cms_topk,
+        "chunk_documents": q_chunk_documents,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2386,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
         "cms_topk": _sql_cms_topk(),
+        "chunk_documents": _sql_chunk_documents(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,
