@@ -182,9 +182,11 @@ def cc_labels(edges: DataFrame, iterations: int = 6,
             .select("node",
                     F.least("label", F.coalesce("ml", "label")).alias("label"))
         )
-        if (i + 1) % 3 == 0:
-            # flatten lineage so the per-round plan doesn't deepen unboundedly
-            labels = labels.localCheckpoint(eager=True)
+        # flatten lineage EVERY round: labels is referenced twice per round
+        # (the neighbor join and the carry-through), so the plan doubles
+        # between checkpoints — every-3 cadence measured 6.3 s vs 2.9-3.3 s
+        # for every-round at sf0.1 dup_clusters (values unchanged)
+        labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -273,10 +275,19 @@ def hits_fixed(edges: DataFrame, iterations: int = 2,
     hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("s"))
     auth = None
     for _ in range(iterations):
+        # localCheckpoint each round's raw sums: the normalization max
+        # rides in a broadcast subtree that Spark evaluates INDEPENDENTLY
+        # of the main plan, so the raw agg is consumed twice per round and
+        # the chain otherwise re-expands 2^(2*iterations)-fold — the
+        # logical plan itself grows exponentially (plan-string OOM at
+        # sf0.1), which persist() alone cannot cut (measured 49.6 s vs
+        # ~4 s). The checkpointed table is the round's computed BIGINT
+        # sums, so results are unchanged.
         a_raw = (e.alias("e")
                  .join(hub.alias("h"), F.col("e.src") == F.col("h.node"))
                  .groupBy(F.col("e.dst").alias("node"))
-                 .agg(F.sum("s").alias("raw")))
+                 .agg(F.sum("s").alias("raw"))
+                 .localCheckpoint(eager=True))
         a_max = a_raw.agg(F.max("raw").alias("mx"))
         auth = (nodes.join(a_raw, "node", "left")
                 .crossJoin(F.broadcast(a_max))
@@ -286,7 +297,8 @@ def hits_fixed(edges: DataFrame, iterations: int = 2,
         h_raw = (e.alias("e")
                  .join(auth.alias("a"), F.col("e.dst") == F.col("a.node"))
                  .groupBy(F.col("e.src").alias("node"))
-                 .agg(F.sum("s").alias("raw")))
+                 .agg(F.sum("s").alias("raw"))
+                 .localCheckpoint(eager=True))
         h_max = h_raw.agg(F.max("raw").alias("mx"))
         hub = (nodes.join(h_raw, "node", "left")
                .crossJoin(F.broadcast(h_max))

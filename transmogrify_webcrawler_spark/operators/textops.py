@@ -163,7 +163,11 @@ def minhash_index(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     tables bucketed on (band_id, band_hash) and doc_id respectively; new
     batches then dedup against the whole corpus WITHOUT self-joining or
     re-signing it (minhash_probe)."""
-    sig = minhash_signatures(docs, num_perm, shingle_n)
+    # persist: bands and signatures are both consumed by every probe, and
+    # both derive from the same signature agg — unpersisted, the corpus
+    # would sign twice per probe (this cache stands in for the bucketed
+    # index TABLES a production pipeline writes)
+    sig = minhash_signatures(docs, num_perm, shingle_n).persist()
     return _banded(sig, num_perm, bands), sig
 
 
