@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     # sort-free exact percentiles, recrawl snapshot diff, NFC normalization
     "cleaning_decision", "exact_quantiles", "snapshot_delta",
     "normalize_text", "bpe_merges", "bpe_encode", "cms_topk",
-    "chunk_documents",
+    "chunk_documents", "reciprocal_links", "inverted_postings",
 ]
 
 

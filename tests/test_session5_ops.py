@@ -126,6 +126,34 @@ def test_chunk_documents_geometry(spark):
     ]
 
 
+def test_reciprocal_links_counts(spark):
+    from transmogrify_webcrawler_spark.operators.graph import (
+        reciprocal_links)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (3, 5)],
+        "src long, dst long")
+    got = {r["node"]: (r["n_out"], r["n_reciprocal"], r["reciprocal_pct"])
+           for r in reciprocal_links(edges).collect()}
+    assert got == {1: (2, 1, 50), 2: (1, 1, 100), 3: (2, 1, 50),
+                   4: (1, 1, 100)}
+
+
+def test_inverted_postings_cuts_and_order(spark):
+    from transmogrify_webcrawler_spark.operators.textops import (
+        inverted_postings)
+
+    df = spark.createDataFrame(
+        [(10, "alpha beta"), (2, "alpha beta"), (3, "alpha gamma"),
+         (4, "alpha delta")],
+        "doc_id long, text string")
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_postings(df, min_df=2, max_df=3).collect()}
+    # alpha (df=4) dies to the stopword cut, gamma/delta (df=1) to min_df;
+    # beta's postings sort NUMERICALLY (2 before 10)
+    assert got == {"beta": (2, "2,10")}
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

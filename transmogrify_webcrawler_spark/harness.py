@@ -1298,6 +1298,54 @@ def _sql_hits() -> str:
         iterations=2)
 
 
+def q_inverted_postings(spark, sf_dir):
+    """Serving-side inverted index: term -> sorted distinct posting list
+    (min_df=2 hapax cut, max_df=200 stopword cut), postings serialized for
+    the hash gate like backlink_collect. The documents fixture has a
+    31-term always-everywhere vocabulary (all stopword-cut), so each doc
+    gets two deterministic topic tags (doc_id mod 97 / mod 13) — mid-df
+    terms that provably survive both cuts (operators/textops.py)."""
+    from .operators.textops import inverted_postings
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" t"),
+                 (F.col("doc_id") % 97).cast("string"), F.lit(" t"),
+                 (F.col("doc_id") % 13).cast("string")).alias("text"))
+    return inverted_postings(docs, min_df=2, max_df=200)
+
+
+def _sql_inverted_postings() -> str:
+    from .operators.textops import inverted_postings_sql
+    fx = ("SELECT doc_id, text || ' t' || (doc_id % 97)::VARCHAR"
+          " || ' t' || (doc_id % 13)::VARCHAR AS text FROM documents")
+    return inverted_postings_sql(fx, min_df=2, max_df=200)
+
+
+def q_reciprocal_links(spark, sf_dir):
+    """Link-farm reciprocity profile over the order->part graph, with the
+    l_linenumber=1 edges mirrored so two-way links provably exist: per
+    source node, out-degree, reciprocated out-edges, and the exact integer
+    reciprocity percentage (operators/graph.py reciprocal_links)."""
+    from .operators.graph import reciprocal_links
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(F.col("l_orderkey").alias("src"),
+                    F.col("l_partkey").alias("dst"))
+    mirror = (li.filter(F.col("l_linenumber") == 1)
+              .select(F.col("l_partkey").alias("src"),
+                      F.col("l_orderkey").alias("dst")))
+    return reciprocal_links(fwd.unionByName(mirror))
+
+
+def _sql_reciprocal_links() -> str:
+    from .operators.graph import reciprocal_links_sql
+    return reciprocal_links_sql(
+        "SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem "
+        "UNION ALL SELECT l_partkey, l_orderkey FROM lineitem "
+        "WHERE l_linenumber = 1")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test split — content-independent,
     RNG-free, identical on any engine/cluster size (lexicographic md5-prefix
@@ -2320,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cms_topk": q_cms_topk,
         "chunk_documents": q_chunk_documents,
+        "reciprocal_links": q_reciprocal_links,
+        "inverted_postings": q_inverted_postings,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2404,6 +2454,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _sql_bpe_encode(),
         "cms_topk": _sql_cms_topk(),
         "chunk_documents": _sql_chunk_documents(),
+        "reciprocal_links": _sql_reciprocal_links(),
+        "inverted_postings": _sql_inverted_postings(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

@@ -352,3 +352,50 @@ def hits_sql(edges_sql: str, iterations: int = 2) -> str:
     )
     sql = "\n".join(parts)
     return sql.replace("),\nSELECT", ")\nSELECT")
+
+
+# ---- reciprocal links (link-farm signal) --------------------------------------
+
+def reciprocal_links(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-source reciprocity profile — the classic link-farm/spam signal
+    (organic link graphs are overwhelmingly one-directional; farms trade
+    links both ways). Returns (node, n_out, n_reciprocal, reciprocal_pct)
+    per source node, with reciprocal_pct an exact integer percentage.
+
+    Scale shape: ONE self-join of the deduped edge list on the reversed
+    key (a LEFT SEMI, so nothing widens), then a map-side-combining
+    groupBy(src). At cluster scale the edge table is bucketed by src and
+    the reversed probe side repartitions once — no pair-space blowup, no
+    window."""
+    e = _edges_long(edges, src, dst)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi") \
+             .select("src", F.lit(1).alias("r"))
+    out = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    rc = recip.groupBy("src").agg(F.count("*").alias("n_reciprocal"))
+    return (out.join(rc, "src", "left")
+            .select(F.col("src").alias("node"), "n_out",
+                    F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+                    .alias("n_reciprocal"))
+            .withColumn("reciprocal_pct", F.expr(
+                "(n_reciprocal * 100) DIV n_out").cast("long")))
+
+
+def reciprocal_links_sql(edges_sql: str) -> str:
+    """DuckDB oracle: identical semi-join + rollup."""
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+r AS (
+  SELECT e.src, count(*) AS n_reciprocal
+  FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                       WHERE e2.src = e.dst AND e2.dst = e.src)
+  GROUP BY e.src
+), o AS (
+  SELECT src, count(*) AS n_out FROM e GROUP BY src
+)
+SELECT o.src AS node, o.n_out,
+       CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       (coalesce(r.n_reciprocal, 0) * 100) // o.n_out AS reciprocal_pct
+FROM o LEFT JOIN r ON o.src = r.src
+"""

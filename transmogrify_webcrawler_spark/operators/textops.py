@@ -765,6 +765,55 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                     F.round("score", 4).alias("score"), "rank"))
 
 
+# ---- inverted posting-list index ---------------------------------------------
+
+def inverted_postings(docs: DataFrame, min_df: int = 2,
+                      max_df: int | None = None, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Term -> postings-list index (term, df, postings): the serving-side
+    artifact of a text corpus — distinct doc ids per term, numerically
+    sorted, serialized as a comma-joined string (engine-portable, hashable
+    by the correctness gate like backlink_collect's referrer lists).
+
+    Scale shape: (doc, term) pairs dedupe map-side (partial agg), ONE
+    shuffle on term builds each postings list. Skew is the stopword
+    problem — a term in half the corpus owns a posting list the size of
+    the corpus — so `max_df` is the classic stopword cut (drop terms above
+    it); a production index would additionally bucket-shard the survivors'
+    lists. min_df drops hapax noise the way every IR index does."""
+    terms = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(words_expr(F.col(text_col))).alias("term"),
+    ).distinct()
+    agg = (terms.groupBy("term")
+           .agg(F.sort_array(F.collect_set("doc_id")).alias("p")))
+    out = agg.select(
+        "term", F.size("p").cast("long").alias("df"),
+        F.concat_ws(",", F.transform(
+            "p", lambda x: x.cast("string"))).alias("postings"))
+    out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out
+
+
+def inverted_postings_sql(docs_sql: str, min_df: int = 2,
+                          max_df: int | None = None, id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle: identical distinct-pair aggregation and ordering."""
+    w = (f"list_filter(string_split_regex(lower({text_col}), '\\s+'),"
+         f" x -> x <> '')")
+    cap = f" AND count(*) <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM (SELECT DISTINCT CAST({id_col} AS BIGINT) AS doc_id, term
+      FROM (SELECT {id_col}, unnest({w}) AS term FROM ({docs_sql})))
+GROUP BY term
+HAVING count(*) >= {int(min_df)}{cap}
+"""
+
+
 # ---- Unicode text normalization ----------------------------------------------
 
 # C0 controls minus \t \n \r, plus DEL — the bytes scrubbed from web text
