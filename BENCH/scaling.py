@@ -186,7 +186,7 @@ def engine_gate(repeats: int = 3) -> dict:
 
 ## Round-5 {tag}: ENGINE 2->8 with same-session kernel ceiling
 
-Measured 2026-08-17 (round 5), one session, shipped ENGINE
+Measured {time.strftime('%Y-%m-%d')} (round 5), one session, shipped ENGINE
 shape (per-wave fetch, bloom ON, pipeline_commits OFF — the engine default
 the bench also defaults to), median-of-{repeats} per point:
 
