@@ -154,6 +154,21 @@ def test_inverted_postings_cuts_and_order(spark):
     assert got == {"beta": (2, "2,10")}
 
 
+def test_reciprocal_links_plan_no_cartesian(spark):
+    """The reversed-key self-join must plan as an equi-join (semi), never
+    a cartesian/BNL product."""
+    from transmogrify_webcrawler_spark.operators.graph import (
+        reciprocal_links)
+
+    edges = spark.range(0, 1000).selectExpr("id AS src",
+                                            "(id * 7) % 997 AS dst")
+    plan = (reciprocal_links(edges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""
