@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cleaning_decision", "exact_quantiles", "snapshot_delta",
     "normalize_text", "bpe_merges", "bpe_encode", "cms_topk",
     "chunk_documents", "reciprocal_links", "inverted_postings",
+    "image_features",
 ]
 
 
@@ -254,7 +255,12 @@ REPEATS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
 def bench_queries(spark, repeats: int = REPEATS) -> tuple[dict, dict]:
     """Median-of-`repeats` per query + [min, max] spread. The first run of
-    a query pays plan compilation / UDF warmup; the median absorbs it."""
+    a query pays plan compilation / UDF warmup; the median absorbs it.
+    The cache is cleared BETWEEN queries (not between a query's repeats):
+    several operators persist intermediates (LSH index, k-means base,
+    graph checkpoints) and each invocation creates fresh entries, so
+    without the clear every later query competes with dozens of leaked,
+    unreachable cached tables — cross-query pollution, not signal."""
     from transmogrify_webcrawler_spark import harness
 
     qs = harness.queries()
@@ -269,6 +275,7 @@ def bench_queries(spark, repeats: int = REPEATS) -> tuple[dict, dict]:
         ts.sort()
         out[name] = ts[len(ts) // 2]
         spread[name] = [ts[0], ts[-1]]
+        spark.catalog.clearCache()
     return out, spread
 
 

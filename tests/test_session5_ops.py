@@ -169,6 +169,25 @@ def test_reciprocal_links_plan_no_cartesian(spark):
     assert "LeftSemi" in plan
 
 
+def test_image_features_decodes_real_pixels(spark):
+    """Known 2x2 gray PNG -> exact sum/mean/histogram; junk bytes ->
+    ok=false with null features."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        image_features)
+    from transmogrify_webcrawler_spark.operators.png import encode_png
+
+    png = encode_png(2, 2, 0, [bytearray([0, 64]), bytearray([128, 255])])
+    df = spark.createDataFrame([(1, bytearray(png)), (2, b"not a png")],
+                               "media_id long, payload binary")
+    got = {r["media_id"]: r for r in image_features(df).collect()}
+    r = got[1]
+    assert (r["ok"], r["width"], r["height"], r["n_channels"]) == \
+        (True, 2, 2, 1)
+    assert (r["px_sum"], r["px_mean"]) == (447, 111)
+    assert (r["h0"], r["h1"], r["h2"], r["h3"]) == (1, 1, 1, 1)
+    assert got[2]["ok"] is False and got[2]["px_sum"] is None
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

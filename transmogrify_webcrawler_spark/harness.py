@@ -1951,6 +1951,59 @@ FROM documents
 """
 
 
+def q_image_features(spark, sf_dir):
+    """REAL pixel-statistics features, ORACLE-CHECKED: per-doc gray PNGs
+    with pixel(x,y) = (x*7 + y*13 + doc_id) % 256 at per-doc dims are
+    encoded (genuine IDAT/CRC), decoded back by image_features
+    (zlib inflate + unfilter), and reduced to exact integer statistics —
+    dimensions, pixel sum, mean, 4-bin intensity histogram. The oracle
+    reconstructs every statistic arithmetically from doc_id, so any codec
+    or feature-math defect fails the hash compare."""
+    from .operators.multimodal import image_features
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from transmogrify_webcrawler_spark.operators.png import encode_png
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sw, sh = did % 13 + 3, did % 11 + 3
+                rows = [bytearray((x * 7 + y * 13 + did) % 256
+                                  for x in range(sw)) for y in range(sh)]
+                out.append(dict(media_id=did,
+                                payload=encode_png(sw, sh, 0, rows)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(make, "media_id long, payload binary")
+    return image_features(media)
+
+
+SQL_IMAGE_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 11 + 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (x * 7 + y * 13 + doc_id) % 256 AS v
+  FROM (SELECT doc_id, w, h, x,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM dims))
+)
+SELECT doc_id AS media_id, true AS ok,
+       w::INTEGER AS width, h::INTEGER AS height, 1::INTEGER AS n_channels,
+       sum(v)::BIGINT AS px_sum,
+       (sum(v) // (w * h))::BIGINT AS px_mean,
+       (count(*) FILTER (v // 64 = 0))::BIGINT AS h0,
+       (count(*) FILTER (v // 64 = 1))::BIGINT AS h1,
+       (count(*) FILTER (v // 64 = 2))::BIGINT AS h2,
+       (count(*) FILTER (v // 64 = 3))::BIGINT AS h3
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video/audio frame-sampling plumbing (sequence+explode over decoded
     duration; rows-only generic path — see frame_sample_verified for the
@@ -2370,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "reciprocal_links": q_reciprocal_links,
         "inverted_postings": q_inverted_postings,
+        "image_features": q_image_features,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2456,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _sql_chunk_documents(),
         "reciprocal_links": _sql_reciprocal_links(),
         "inverted_postings": _sql_inverted_postings(),
+        "image_features": SQL_IMAGE_FEATURES,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

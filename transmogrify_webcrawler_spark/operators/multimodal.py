@@ -482,3 +482,69 @@ def frame_sample_plan(media: DataFrame | None, every_s: float = 1.0,
             )
         ).alias("frame_idx"),
     ).withColumn("t_offset_s", F.col("frame_idx") * F.lit(every_s))
+
+
+# ---- real image features (PNG pixel statistics) -------------------------------
+
+IMG_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("ok", BooleanType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("px_sum", LongType()),
+    StructField("px_mean", LongType()),
+    StructField("h0", LongType()),
+    StructField("h1", LongType()),
+    StructField("h2", LongType()),
+    StructField("h3", LongType()),
+])
+
+
+def image_features(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL image features from decoded pixels — the operator that retires
+    the feature-vector stub for the formats this environment can actually
+    decode (PNG, via the pixel-true codec in operators/png.py; zlib
+    inflate + unfilter, no imaging library). Per image: dimensions,
+    channel count, exact pixel byte sum, integer mean (sum DIV count), and
+    a 4-bin intensity histogram over all channel bytes — deterministic
+    integers end to end, so the whole decode path is hashable by the
+    correctness gate. Non-PNG or out-of-scope payloads return ok=false
+    with null features (JPEG/GIF need codecs the env lacks — documented
+    limit, same boundary as resize_media).
+
+    Scale shape mirrors resize_media: payload-hash repartition spreads
+    decode skew, one mapInPandas crossing, Arrow-batched."""
+    from .png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = dict(media_id=int(mid), ok=False, width=None,
+                           height=None, n_channels=None, px_sum=None,
+                           px_mean=None, h0=None, h1=None, h2=None,
+                           h3=None)
+                try:
+                    w, h, color, rows = decode_png(bytes(payload))
+                    hist = [0, 0, 0, 0]
+                    s = 0
+                    for line in rows:
+                        s += sum(line)
+                        for b in line:
+                            hist[b >> 6] += 1
+                    n = sum(hist)
+                    row.update(ok=True, width=w, height=h,
+                               n_channels=len(rows[0]) // w if w else 0,
+                               px_sum=s, px_mean=s // n if n else 0,
+                               h0=hist[0], h1=hist[1], h2=hist[2],
+                               h3=hist[3])
+                except (ValueError, IndexError, KeyError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             IMG_FEATURES_SCHEMA.fields])
+
+    spread = media.repartition(F.pmod(F.xxhash64(payload_col), F.lit(64)))
+    return spread.mapInPandas(run, IMG_FEATURES_SCHEMA)
