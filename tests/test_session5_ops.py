@@ -188,6 +188,28 @@ def test_image_features_decodes_real_pixels(spark):
     assert got[2]["ok"] is False and got[2]["px_sum"] is None
 
 
+def test_audio_features_decodes_real_pcm(spark):
+    """Hand-built 8-bit mono WAV -> exact sample stats; junk -> ok=false."""
+    from transmogrify_webcrawler_spark.operators.multimodal import (
+        audio_features)
+
+    data = bytes([10, 200, 30, 100])
+    wav = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, b"nope")],
+                               "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    r = got[1]
+    assert (r["ok"], r["sample_rate"], r["n_samples"]) == (True, 8000, 4)
+    assert (r["byte_sum"], r["byte_mean"]) == (340, 85)
+    assert (r["byte_min"], r["byte_max"]) == (10, 200)
+    assert got[2]["ok"] is False and got[2]["byte_sum"] is None
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

@@ -1804,9 +1804,13 @@ def _media_fixture(spark, sf_dir):
         _be(did % 400 + 1, 4), _be(did % 500 + 1, 4),
         F.lit(bytes.fromhex("03010011020011030011FFD9")))
     # canonical PCM WAV: 1 channel x 8-bit => byte_rate == sample_rate;
-    # duration = data_size / byte_rate (exact arithmetic both engines)
+    # duration = data_size / byte_rate (exact arithmetic both engines).
+    # Sample data is a two-level pattern — (dsz - dsz//3) bytes of 'x'
+    # (0x78) then dsz//3 bytes of 'P' (0x50) — so audio_features' decoded
+    # sum/mean/min/max are doc_id-reconstructible AND nonconstant
     rate = did % 8 * 1000 + 8000       # byte_rate: 8000..15000
     dsz = did % 2000 + 100             # data chunk size: 100..2099
+    third = F.floor(dsz / 3).cast("int")
     wav = F.concat(
         F.lit(b"RIFF"), _le(dsz + 36, 4),
         F.lit(b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
@@ -1814,7 +1818,8 @@ def _media_fixture(spark, sf_dir):
         _le(rate, 4), _le(rate, 4),
         F.lit((1).to_bytes(2, "little") + (8).to_bytes(2, "little")),
         F.lit(b"data"), _le(dsz, 4),
-        F.repeat(F.lit("x"), dsz.cast("int")).cast("binary"))
+        F.concat(F.repeat(F.lit("x"), dsz.cast("int") - third),
+                 F.repeat(F.lit("P"), third)).cast("binary"))
     # MP4: duration_s = mvhd duration units / timescale (big-endian u32s at
     # fixed offsets in the version-0 box) — exact arithmetic both engines
     ts = did % 7 * 1000 + 1000         # timescale: 1000..7000
@@ -1948,6 +1953,42 @@ SELECT doc_id AS media_id,
              WHEN 3 THEN 44 + doc_id % 2000 + 100
              ELSE 132 END)::BIGINT AS n_bytes
 FROM documents
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL PCM statistics, ORACLE-CHECKED: the WAV fixture rows carry a
+    two-level 8-bit sample pattern ('x' then 'P' segments sized from
+    doc_id); audio_features walks the RIFF chunks, slices the ACTUAL data
+    bytes, and reduces them to exact integers (rate, count, sum, mean,
+    min, max) — the oracle reconstructs all of it arithmetically, so a
+    wrong chunk offset (sweeping header bytes into the sum) fails the
+    hash. Non-WAV strata provably take the ok=false path."""
+    from .operators.multimodal import audio_features
+
+    return audio_features(_media_fixture(spark, sf_dir))
+
+
+SQL_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2000 + 100 AS dsz,
+         (doc_id % 2000 + 100) // 3 AS third,
+         doc_id % 8 * 1000 + 8000 AS rate
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       doc_id % 5 = 3 AS ok,
+       (CASE WHEN doc_id % 5 = 3 THEN rate END)::INTEGER AS sample_rate,
+       (CASE WHEN doc_id % 5 = 3 THEN dsz END)::BIGINT AS n_samples,
+       (CASE WHEN doc_id % 5 = 3
+             THEN 120 * (dsz - third) + 80 * third END)::BIGINT AS byte_sum,
+       (CASE WHEN doc_id % 5 = 3
+             THEN (120 * (dsz - third) + 80 * third) // dsz
+        END)::BIGINT AS byte_mean,
+       (CASE WHEN doc_id % 5 = 3 THEN 80 END)::INTEGER AS byte_min,
+       (CASE WHEN doc_id % 5 = 3 THEN 120 END)::INTEGER AS byte_max
+FROM p
 """
 
 
@@ -2424,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": q_reciprocal_links,
         "inverted_postings": q_inverted_postings,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2511,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocal_links": _sql_reciprocal_links(),
         "inverted_postings": _sql_inverted_postings(),
         "image_features": SQL_IMAGE_FEATURES,
+        "audio_features": SQL_AUDIO_FEATURES,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

@@ -548,3 +548,80 @@ def image_features(media: DataFrame, id_col: str = "media_id",
 
     spread = media.repartition(F.pmod(F.xxhash64(payload_col), F.lit(64)))
     return spread.mapInPandas(run, IMG_FEATURES_SCHEMA)
+
+
+# ---- real audio features (WAV PCM statistics) ---------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("ok", BooleanType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("byte_sum", LongType()),
+    StructField("byte_mean", LongType()),
+    StructField("byte_min", IntegerType()),
+    StructField("byte_max", IntegerType()),
+])
+
+
+def wav_pcm_samples(payload: bytes) -> tuple[int, bytes] | None:
+    """(sample_rate, raw 8-bit mono PCM bytes) via the same RIFF chunk walk
+    as wav_duration; None outside the pinned scope (non-WAV, not 8-bit
+    mono PCM, or data longer than the payload actually carries)."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, fmt_ok, data = 12, None, False, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        csz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            body = b[i + 8:i + 24]
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            fmt_ok = audio_fmt == 1 and channels == 1 and bits == 8
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + csz]
+            if len(data) < csz:
+                return None
+        i += 8 + csz + (csz & 1)
+    if not (fmt_ok and rate and data):
+        return None
+    return rate, data
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL audio features from decoded PCM — the audio twin of
+    image_features: sample rate, sample count, and exact byte-domain
+    statistics (sum, integer mean, min, max) over the ACTUAL `data` chunk
+    bytes of canonical 8-bit mono PCM WAVs. A wrong chunk offset anywhere
+    in the walk sweeps header bytes into the sum and fails the oracle.
+    Non-WAV / out-of-scope payloads return ok=false with null features.
+
+    Scale shape: payload-hash repartition + one mapInPandas crossing,
+    identical to image_features/resize_media."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = dict(media_id=int(mid), ok=False, sample_rate=None,
+                           n_samples=None, byte_sum=None, byte_mean=None,
+                           byte_min=None, byte_max=None)
+                dec = wav_pcm_samples(bytes(payload))
+                if dec is not None:
+                    rate, data = dec
+                    n = len(data)
+                    s = sum(data)
+                    row.update(ok=True, sample_rate=rate, n_samples=n,
+                               byte_sum=s, byte_mean=s // n if n else 0,
+                               byte_min=min(data) if n else None,
+                               byte_max=max(data) if n else None)
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AUDIO_FEATURES_SCHEMA.fields])
+
+    spread = media.repartition(F.pmod(F.xxhash64(payload_col), F.lit(64)))
+    return spread.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
