@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "cleaning_decision", "exact_quantiles", "snapshot_delta",
     "normalize_text", "bpe_merges", "bpe_encode", "cms_topk",
     "chunk_documents", "reciprocal_links", "inverted_postings",
-    "image_features", "audio_features",
+    "image_features", "audio_features", "resolve_redirects",
 ]
 
 

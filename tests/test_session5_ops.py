@@ -210,6 +210,26 @@ def test_audio_features_decodes_real_pcm(spark):
     assert got[2]["ok"] is False and got[2]["byte_sum"] is None
 
 
+def test_resolve_redirects_chains_and_cycles(spark):
+    """3-chain resolves with the right hop counts; a 2-cycle is flagged
+    unresolved; untouched nodes map to themselves at 0 hops."""
+    from transmogrify_webcrawler_spark.operators.graph import (
+        resolve_redirects)
+
+    redirects = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, 0), (8, 9), (9, 8)], "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 5, 8, 9)], "node long")
+    got = {r["node"]: (r["final"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(redirects, nodes, hops=4).collect()}
+    assert got[0] == (0, 0, True)
+    assert got[1] == (0, 1, True)
+    assert got[2] == (0, 2, True)
+    assert got[3] == (0, 3, True)
+    assert got[5] == (5, 0, True)
+    assert got[8][2] is False and got[9][2] is False  # the 2-cycle
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

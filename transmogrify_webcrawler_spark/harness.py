@@ -1346,6 +1346,35 @@ def _sql_reciprocal_links() -> str:
         "WHERE l_linenumber = 1")
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling: doc_id%4!=0 rows
+    redirect one id down (chains of length 1-3 onto the %4==0 anchors),
+    and each id%100 in {98,99} pair redirects at each other (a provable
+    2-cycle) — so 0/1/2/3-hop resolutions AND the resolved=false cycle
+    path all fire (operators/graph.py resolve_redirects)."""
+    from .operators.graph import resolve_redirects
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    dst = (F.when(did % 100 == 98, did + 1)
+           .when(did % 100 == 99, did - 1)
+           .when(did % 4 != 0, did - 1))
+    redirects = (d.select(did.alias("src"), dst.alias("dst"))
+                 .filter(F.col("dst").isNotNull()))
+    return resolve_redirects(redirects, d, hops=4)
+
+
+def _sql_resolve_redirects() -> str:
+    from .operators.graph import resolve_redirects_sql
+    red = ("SELECT doc_id AS src, CASE WHEN doc_id % 100 = 98 "
+           "THEN doc_id + 1 WHEN doc_id % 100 = 99 THEN doc_id - 1 "
+           "WHEN doc_id % 4 <> 0 THEN doc_id - 1 END AS dst "
+           "FROM documents WHERE doc_id % 100 IN (98, 99) "
+           "OR doc_id % 4 <> 0")
+    return resolve_redirects_sql(red, "SELECT doc_id AS node FROM documents",
+                                 hops=4)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test split — content-independent,
     RNG-free, identical on any engine/cluster size (lexicographic md5-prefix
@@ -2466,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "resolve_redirects": q_resolve_redirects,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2554,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_postings": _sql_inverted_postings(),
         "image_features": SQL_IMAGE_FEATURES,
         "audio_features": SQL_AUDIO_FEATURES,
+        "resolve_redirects": _sql_resolve_redirects(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

@@ -399,3 +399,82 @@ SELECT o.src AS node, o.n_out,
        (coalesce(r.n_reciprocal, 0) * 100) // o.n_out AS reciprocal_pct
 FROM o LEFT JOIN r ON o.src = r.src
 """
+
+
+# ---- redirect-chain resolution ------------------------------------------------
+
+def resolve_redirects(redirects: DataFrame, nodes: DataFrame,
+                      hops: int = 4, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Follow HTTP-redirect chains to their final target — the resolution
+    pass a crawler runs before frontier dedup so chained aliases
+    (http -> https -> canonical host) collapse onto one fetch. Returns
+    (node, final, n_hops, resolved): `final` after up to `hops` pointer
+    jumps, `resolved` false when the chain is still moving at the horizon
+    (longer chain OR a redirect cycle — both are trap signals upstream,
+    cf. operators' trap_urls).
+
+    POINTER DOUBLING, not linear walking: each round joins the mapping to
+    itself (f = f∘f), so a chain of length L resolves in ceil(log2 L)
+    rounds — `hops` is therefore 2^rounds, and the semantics are defined
+    by the doubled-map fixpoint exactly as cc_labels' are by its round
+    count. Each round shuffles only the skinny (node, final) table;
+    lineage is cut per round like every iterative operator here.
+    """
+    e = _edges_long(redirects, src, dst)
+    n = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node")) \
+             .distinct()
+    # f0: one hop if a redirect exists, else self
+    f = (n.join(e, n["node"] == e["src"], "left")
+         .select("node", F.coalesce("dst", "node").alias("final"),
+                 F.when(F.col("dst").isNotNull(), 1).otherwise(0)
+                 .cast("long").alias("n_hops"))
+         .localCheckpoint(eager=True))
+    rounds = max(1, (int(hops) - 1).bit_length())  # 2^rounds >= hops
+    for _ in range(rounds):
+        g = f.select(F.col("node").alias("g_node"),
+                     F.col("final").alias("g_final"),
+                     F.col("n_hops").alias("g_hops"))
+        f = (f.alias("a")
+             .join(g.alias("b"), F.col("a.final") == F.col("b.g_node"))
+             .select(F.col("a.node").alias("node"),
+                     F.col("b.g_final").alias("final"),
+                     (F.col("a.n_hops") + F.col("b.g_hops"))
+                     .cast("long").alias("n_hops"))
+             .localCheckpoint(eager=True))
+    # unresolved: the final node still has an outgoing redirect (cycle or
+    # chain longer than the horizon)
+    still = e.select(F.col("src").alias("final"),
+                     F.lit(False).alias("resolved"))
+    return (f.join(still.distinct(), "final", "left")
+            .select("node", "final", "n_hops",
+                    F.coalesce("resolved", F.lit(True)).alias("resolved")))
+
+
+def resolve_redirects_sql(redirects_sql: str, nodes_sql: str,
+                          hops: int = 4) -> str:
+    """DuckDB oracle: the same pointer-doubling recurrence unrolled as
+    MATERIALIZED CTEs."""
+    rounds = max(1, (int(hops) - 1).bit_length())
+    parts = [
+        "WITH e AS MATERIALIZED"
+        f" (SELECT DISTINCT src, dst FROM ({redirects_sql})),",
+        "n AS MATERIALIZED"
+        f" (SELECT DISTINCT node FROM ({nodes_sql})),",
+        "f0 AS MATERIALIZED (SELECT n.node,"
+        " coalesce(e.dst, n.node) AS final,"
+        " CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS n_hops"
+        " FROM n LEFT JOIN e ON n.node = e.src),",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"f{i + 1} AS MATERIALIZED (SELECT a.node, b.final,"
+            " a.n_hops + b.n_hops AS n_hops"
+            f" FROM f{i} a JOIN f{i} b ON a.final = b.node),"
+        )
+    parts.append(
+        f"SELECT f.node, f.final, CAST(f.n_hops AS BIGINT) AS n_hops,"
+        " NOT EXISTS (SELECT 1 FROM e WHERE e.src = f.final) AS resolved"
+        f" FROM f{rounds} f"
+    )
+    return "\n".join(parts).replace("),\nSELECT", ")\nSELECT")
