@@ -230,6 +230,24 @@ def test_resolve_redirects_chains_and_cycles(spark):
     assert got[8][2] is False and got[9][2] is False  # the 2-cycle
 
 
+def test_strip_tracking_cases(spark):
+    from transmogrify_webcrawler_spark.operators.cdx import strip_tracking
+
+    urls = [
+        ("http://a/p?utm_source=x&id=1", "http://a/p?id=1"),
+        ("http://a/p?id=1&utm_campaign=c", "http://a/p?id=1"),
+        ("http://a/p?gclid=g", "http://a/p"),
+        ("http://a/p?x=1&fbclid=f&y=2#frag", "http://a/p?x=1&y=2#frag"),
+        ("http://a/p?utm_a=1&utm_b=2#f", "http://a/p#f"),
+        ("http://a/p?id=1", "http://a/p?id=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {r["url"]: (r["url_clean"], r["changed"])
+           for r in strip_tracking(df).collect()}
+    for u, want in urls:
+        assert got[u] == (want, want != u), (u, got[u], want)
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

@@ -1346,6 +1346,54 @@ def _sql_reciprocal_links() -> str:
         "WHERE l_linenumber = 1")
 
 
+_TRACK_URL_CASES = [
+    # (suffix template, the case it provably exercises)
+    "?utm_source=news&id={d}",      # leading tracked pair, kept pair after
+    "?id={d}&utm_campaign=cc",      # trailing tracked pair
+    "?gclid=g{d}",                  # tracked pair is the only param
+    "?a=1&fbclid=f{d}&b=2#sec",     # mid-query + fragment preserved
+    "?id={d}",                      # nothing tracked -> changed=false
+]
+
+
+def q_strip_tracking(spark, sf_dir):
+    """Tracking-parameter canonicalization (utm_*/fbclid/gclid/...):
+    five URL shapes built from doc_id exercise leading/trailing/only/
+    mid-query/untouched cases; the three pinned regex passes run in the
+    identical RE2/Java-common subset both engines support
+    (operators/cdx.py strip_tracking)."""
+    from .operators.cdx import strip_tracking
+
+    did = F.col("doc_id")
+    base = F.concat(F.lit("https://ex"), (did % 40).cast("string"),
+                    F.lit(".com/p"), did.cast("string"))
+    suffix = F.lit("")
+    for i, tpl in enumerate(_TRACK_URL_CASES):
+        head, _, tail = tpl.partition("{d}")
+        part = F.concat(F.lit(head), did.cast("string"), F.lit(tail)) \
+            if "{d}" in tpl else F.lit(tpl)
+        suffix = F.when(did % 5 == i, part).otherwise(suffix)
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(base, suffix).alias("url"))
+    return strip_tracking(pages)
+
+
+def _sql_strip_tracking() -> str:
+    from .operators.cdx import strip_tracking_sql
+    cases = []
+    for i, tpl in enumerate(_TRACK_URL_CASES):
+        head, _, tail = tpl.partition("{d}")
+        expr = f"'{head}' || doc_id::VARCHAR || '{tail}'" \
+            if "{d}" in tpl else f"'{tpl}'"
+        cases.append(f"WHEN doc_id % 5 = {i} THEN {expr}")
+    url = ("'https://ex' || (doc_id % 40)::VARCHAR || '.com/p' || "
+           "doc_id::VARCHAR || CASE " + " ".join(cases) + " END")
+    clean = strip_tracking_sql("url")
+    return (f"WITH pages AS (SELECT {url} AS url FROM documents)\n"
+            f"SELECT url, {clean} AS url_clean,\n"
+            f"       {clean} <> url AS changed\nFROM pages")
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution via pointer doubling: doc_id%4!=0 rows
     redirect one id down (chains of length 1-3 onto the %4==0 anchors),
@@ -2496,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "resolve_redirects": q_resolve_redirects,
+        "strip_tracking": q_strip_tracking,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2585,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": SQL_IMAGE_FEATURES,
         "audio_features": SQL_AUDIO_FEATURES,
         "resolve_redirects": _sql_resolve_redirects(),
+        "strip_tracking": _sql_strip_tracking(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

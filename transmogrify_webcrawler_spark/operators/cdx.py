@@ -85,3 +85,42 @@ def surt_sql(url_sql: str) -> str:
             f" '{_SCHEME}[^/?#]*([/?][^#]*)?', 1) END")
     return (f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
             f" || ')' || {path}")
+
+
+# ---- tracking-parameter stripping ---------------------------------------------
+
+# the ad/analytics params every crawler canonicalizes away before dedup —
+# two URLs differing only in these are the SAME resource, and leaving them
+# in silently inflates the frontier and splits dup clusters
+TRACKING_PARAMS = r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)"
+
+# three passes, pinned order (identical RE2/Java semantics):
+# 1. drop each tracked pair, keeping its leading separator
+# 2. collapse the separator runs the removals leave ('?&&' -> '?')
+# 3. strip a dangling separator at end-of-url or before the fragment
+_STRIP_1 = rf"([?&]){TRACKING_PARAMS}=[^&#]*"
+_STRIP_2 = r"([?&])&+"
+_STRIP_3 = r"[?&]+(#|$)"
+
+
+def strip_tracking_expr(url):
+    """Tracking-free form of a URL column — Catalyst-only, rides the scan."""
+    u = F.regexp_replace(url, _STRIP_1, "$1")
+    u = F.regexp_replace(u, _STRIP_2, "$1")
+    return F.regexp_replace(u, _STRIP_3, "$1")
+
+
+def strip_tracking(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, url_clean, changed) per input row; zero shuffle."""
+    clean = strip_tracking_expr(F.col(url_col))
+    return pages.select(
+        F.col(url_col).alias("url"), clean.alias("url_clean"),
+        (clean != F.col(url_col)).alias("changed"))
+
+
+def strip_tracking_sql(url_sql: str) -> str:
+    """The same three regex passes in DuckDB's dialect (\\1 + 'g')."""
+    u = (f"regexp_replace({url_sql},"
+         f" '([?&]){TRACKING_PARAMS}=[^&#]*', '\\1', 'g')")
+    u = f"regexp_replace({u}, '([?&])&+', '\\1', 'g')"
+    return f"regexp_replace({u}, '[?&]+(#|$)', '\\1', 'g')"
