@@ -185,8 +185,13 @@ def cc_labels(edges: DataFrame, iterations: int = 6,
         # flatten lineage EVERY round: labels is referenced twice per round
         # (the neighbor join and the carry-through), so the plan doubles
         # between checkpoints — every-3 cadence measured 6.3 s vs 2.9-3.3 s
-        # for every-round at sf0.1 dup_clusters (values unchanged)
-        labels = labels.localCheckpoint(eager=True)
+        # for every-round at sf0.1 dup_clusters (values unchanged). The
+        # LAST round stays un-checkpointed: its two inputs are already
+        # flat, and the returned frame then still exposes the join over
+        # the cached closure to callers (and plan tests) instead of an
+        # opaque checkpoint scan.
+        if i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
