@@ -248,6 +248,23 @@ def test_strip_tracking_cases(spark):
         assert got[u] == (want, want != u), (u, got[u], want)
 
 
+def test_canonical_by_quality_argmax_and_singletons(spark):
+    """Cluster {1,2,3}: highest quality wins (doc 2); tie-break to the
+    smaller id in cluster {10,11}; unpaired doc 5 keeps itself."""
+    from transmogrify_webcrawler_spark.operators.graph import (
+        canonical_by_quality)
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (5, 4), (10, 6), (11, 6)],
+        "doc_id long, quality long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "src long, dst long")
+    got = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in canonical_by_quality(docs, pairs).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   5: (5, True), 10: (10, True), 11: (10, False)}
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

@@ -1265,6 +1265,32 @@ def _sql_dup_clusters() -> str:
         iterations=6)
 
 
+def q_canonical_quality(spark, sf_dir):
+    """Quality-aware retention: connected components over the exact-Jaccard
+    pair graph, then keep the HIGHEST-token-count member per cluster (ties
+    to smallest id) — the production policy ('keep the most complete
+    copy') vs dedup_retention's min-id (operators/graph.py
+    canonical_by_quality)."""
+    from .operators.graph import canonical_by_quality
+    from .operators.textops import ngram_jaccard_pairs, words_expr
+
+    d = _read(spark, sf_dir, "documents")
+    docs = d.select("doc_id",
+                    F.size(words_expr(F.col("text"))).cast("long")
+                    .alias("quality"))
+    pairs = ngram_jaccard_pairs(d, threshold=0.2)
+    return canonical_by_quality(docs, pairs, src="a", dst="b")
+
+
+def _sql_canonical_quality() -> str:
+    from .operators.graph import canonical_by_quality_sql
+    docs = ("SELECT doc_id, len(list_filter(string_split_regex("
+            "lower(text), '\\s+'), x -> x <> '')) AS quality "
+            "FROM documents")
+    pairs = "SELECT a AS src, b AS dst FROM (" + SQL_NGRAM_JACCARD + ")"
+    return canonical_by_quality_sql(docs, pairs, iterations=6)
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (3 iterations, damping 0.85) over the
     order->part link graph — the principled upgrade of inlink_score (A2).
@@ -2545,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "resolve_redirects": q_resolve_redirects,
         "strip_tracking": q_strip_tracking,
+        "canonical_quality": q_canonical_quality,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2635,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": SQL_AUDIO_FEATURES,
         "resolve_redirects": _sql_resolve_redirects(),
         "strip_tracking": _sql_strip_tracking(),
+        "canonical_quality": _sql_canonical_quality(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

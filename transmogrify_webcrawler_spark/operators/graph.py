@@ -483,3 +483,67 @@ def resolve_redirects_sql(redirects_sql: str, nodes_sql: str,
         f" FROM f{rounds} f"
     )
     return "\n".join(parts).replace("),\nSELECT", ")\nSELECT")
+
+
+# ---- quality-aware canonical selection ----------------------------------------
+
+def canonical_by_quality(docs: DataFrame, pairs: DataFrame,
+                         iterations: int = 6, id_col: str = "doc_id",
+                         quality_col: str = "quality",
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Retention with a QUALITY argmax instead of min-id: for every
+    duplicate cluster (connected components over the near-dup pair graph),
+    keep the member with the highest quality metric, ties to the smallest
+    id — what production pipelines actually do ("keep the most complete /
+    highest-scoring copy"), vs dedup_retention's canonical-min-id policy.
+
+    quality must be an integer metric (token count, length, a scaled
+    score) so the argmax is exact. Scale shape: cc_labels' skinny rounds,
+    then ONE groupBy(cluster) argmax via struct max (map-side combining)
+    and a broadcast-size winners join-back — the docs table is scanned
+    once and never reshuffled by text.
+
+    Returns (doc_id, cluster, quality, keep) for every input doc; docs in
+    no pair form their own singleton cluster and keep=true."""
+    labels = cc_labels(pairs, iterations, src, dst)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(quality_col).cast("long").alias("quality"))
+    lab = (d.join(labels, d["doc_id"] == labels["node"], "left")
+           .select("doc_id", "quality",
+                   F.coalesce("label", F.col("doc_id")).alias("cluster")))
+    best = (lab.groupBy("cluster")
+            .agg(F.max(F.struct(F.col("quality"),
+                                (-F.col("doc_id")).alias("neg_id")))
+                 .alias("m"))
+            .select("cluster", (-F.col("m.neg_id")).alias("best_id")))
+    return (lab.join(F.broadcast(best), "cluster")
+            .select("doc_id", "cluster", "quality",
+                    (F.col("doc_id") == F.col("best_id")).alias("keep")))
+
+
+def canonical_by_quality_sql(docs_sql: str, pairs_sql: str,
+                             iterations: int = 6) -> str:
+    """DuckDB oracle: cc rounds unrolled (cc_labels_sql) + the same
+    quality/min-id argmax window. docs_sql must yield (doc_id, quality)."""
+    cc = cc_labels_sql(pairs_sql, iterations)
+    return f"""
+WITH labels AS MATERIALIZED ({cc}),
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(quality AS BIGINT) AS quality FROM ({docs_sql})),
+lab AS (
+  SELECT d.doc_id, d.quality,
+         coalesce(l.label, d.doc_id) AS cluster
+  FROM d LEFT JOIN labels l ON d.doc_id = l.node
+),
+best AS (
+  SELECT cluster, doc_id AS best_id FROM (
+    SELECT cluster, doc_id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM lab
+  ) WHERE rk = 1
+)
+SELECT lab.doc_id, lab.cluster, lab.quality,
+       lab.doc_id = best.best_id AS keep
+FROM lab JOIN best USING (cluster)
+"""
