@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "normalize_text", "bpe_merges", "bpe_encode", "cms_topk",
     "chunk_documents", "reciprocal_links", "inverted_postings",
     "image_features", "audio_features", "resolve_redirects",
-    "strip_tracking", "canonical_quality",
+    "strip_tracking", "canonical_quality", "rebalance_plan",
 ]
 
 

@@ -265,6 +265,24 @@ def test_canonical_by_quality_argmax_and_singletons(spark):
                    5: (5, True), 10: (10, True), 11: (10, False)}
 
 
+def test_rebalance_plan_rates_and_deficit(spark):
+    """100 docs (80 en / 20 de), target 50/30 pct + absent 'ja': en
+    downsamples to 6250bp, de needs 30 > has 20 -> rate caps at 100% with
+    deficit 10, ja rows appear with zero supply."""
+    from transmogrify_webcrawler_spark.operators.sampling import (
+        rebalance_plan)
+
+    df = spark.createDataFrame([("en",)] * 80 + [("de",)] * 20,
+                               "lang string")
+    got = {r["stratum"]: (r["n_docs"], r["needed"], r["rate_bp"],
+                          r["deficit"])
+           for r in rebalance_plan(
+               df, {"en": 5000, "de": 3000, "ja": 500}).collect()}
+    assert got["en"] == (80, 50, 6250, 0)
+    assert got["de"] == (20, 30, 10000, 10)
+    assert got["ja"] == (0, 5, 0, 5)
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""

@@ -1265,6 +1265,30 @@ def _sql_dup_clusters() -> str:
         iterations=6)
 
 
+# target language mixture for the rebalance plan: en-heavy, an
+# under-supplied zh target (provable deficit), and a stratum absent from
+# the corpus ('ja') so the full-outer path provably fires
+_REBALANCE_TARGETS = {"en": 4000, "de": 2000, "fr": 1500, "es": 1000,
+                      "zh": 1400, "ja": 100}
+
+
+def q_rebalance_plan(spark, sf_dir):
+    """Data-mixture planning: derive per-language sampling rates (basis
+    points) realizing a target distribution from the corpus's actual lang
+    counts — deficits flag unreachable targets; 'ja' exercises the
+    absent-stratum path (operators/sampling.py rebalance_plan)."""
+    from .operators.sampling import rebalance_plan
+
+    return rebalance_plan(_read(spark, sf_dir, "documents"),
+                          _REBALANCE_TARGETS)
+
+
+def _sql_rebalance_plan() -> str:
+    from .operators.sampling import rebalance_plan_sql
+    return rebalance_plan_sql("SELECT lang FROM documents",
+                              _REBALANCE_TARGETS)
+
+
 def q_canonical_quality(spark, sf_dir):
     """Quality-aware retention: connected components over the exact-Jaccard
     pair graph, then keep the HIGHEST-token-count member per cluster (ties
@@ -2572,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "strip_tracking": q_strip_tracking,
         "canonical_quality": q_canonical_quality,
+        "rebalance_plan": q_rebalance_plan,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
         "sitemap_extract": q_sitemap_extract,
@@ -2663,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_redirects": _sql_resolve_redirects(),
         "strip_tracking": _sql_strip_tracking(),
         "canonical_quality": _sql_canonical_quality(),
+        "rebalance_plan": _sql_rebalance_plan(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "wet_export": SQL_WET_EXPORT,
         "sitemap_extract": SQL_SITEMAP_EXTRACT,

@@ -167,3 +167,79 @@ def pack_sequences_sql(docs_sql: str, context_len: int = 2048,
         f"SELECT doc_id, n_tokens, start_tok,\n"
         f"       start_tok // {context_len} AS bin_id,\n"
         f"       start_tok % {context_len} AS bin_pos\nFROM c")
+
+
+def rebalance_plan(docs: DataFrame, targets_bp: dict[str, int],
+                   strata_col: str = "lang") -> DataFrame:
+    """The planning half of mixture sampling: given a TARGET distribution
+    (basis points per stratum), derive from the corpus's actual counts the
+    per-stratum sampling rate that realizes it — the artifact a
+    data-mixture pipeline reviews before mixture_sample executes it.
+
+    All integer arithmetic: needed_i = target_bp_i * total DIV 10000,
+    rate_bp_i = min(10000, needed_i * 10000 DIV count_i), deficit_i =
+    shortfall when the corpus simply does not have enough of stratum i
+    (the signal that the target is unreachable without new crawling).
+    Strata in the target but absent from the corpus still get a row.
+
+    Scale shape: one map-side-combining count per stratum (|strata| rows),
+    a broadcast 1-row total, and a broadcast target dim — nothing large
+    moves. Returns (stratum, n_docs, target_bp, needed, rate_bp, deficit).
+    """
+    spark = docs.sparkSession
+    counts = (docs.groupBy(F.col(strata_col).alias("stratum"))
+              .agg(F.count("*").alias("n_docs")))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    tgt = spark.createDataFrame(
+        sorted((k, int(v)) for k, v in targets_bp.items()),
+        "stratum string, target_bp long")
+    j = (counts.join(F.broadcast(tgt), "stratum", "full_outer")
+         .crossJoin(F.broadcast(total))
+         .select("stratum",
+                 F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                 F.coalesce("target_bp", F.lit(0)).alias("target_bp"),
+                 "total"))
+    needed = F.expr("(target_bp * total) DIV 10000")
+    rate = F.when(F.col("n_docs") > 0,
+                  F.least(F.lit(10000),
+                          F.expr("(needed * 10000) DIV n_docs"))) \
+            .otherwise(F.lit(0))
+    return (j.withColumn("needed", needed)
+            .withColumn("rate_bp", rate.cast("long"))
+            .withColumn("deficit",
+                        (F.col("needed")
+                         - F.least("needed", F.col("n_docs")))
+                        .cast("long"))
+            .select("stratum", "n_docs", "target_bp", "needed",
+                    "rate_bp", "deficit"))
+
+
+def rebalance_plan_sql(docs_sql: str, targets_bp: dict[str, int],
+                       strata_col: str = "lang") -> str:
+    """DuckDB oracle: identical integer plan arithmetic."""
+    rows = ", ".join(f"('{k}', {int(v)})"
+                     for k, v in sorted(targets_bp.items()))
+    return f"""
+WITH counts AS (
+  SELECT {strata_col} AS stratum, count(*) AS n_docs
+  FROM ({docs_sql}) GROUP BY 1
+), total AS (SELECT sum(n_docs) AS total FROM counts),
+tgt (stratum, target_bp) AS (VALUES {rows}),
+j AS (
+  SELECT coalesce(c.stratum, t.stratum) AS stratum,
+         coalesce(c.n_docs, 0) AS n_docs,
+         coalesce(t.target_bp, 0) AS target_bp,
+         (SELECT total FROM total) AS total
+  FROM counts c FULL OUTER JOIN tgt t ON c.stratum = t.stratum
+)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(target_bp AS BIGINT) AS target_bp,
+       (target_bp * total) // 10000 AS needed,
+       CAST(CASE WHEN n_docs > 0
+                 THEN least(10000, ((target_bp * total) // 10000) * 10000
+                                   // n_docs)
+                 ELSE 0 END AS BIGINT) AS rate_bp,
+       ((target_bp * total) // 10000
+        - least((target_bp * total) // 10000, n_docs)) AS deficit
+FROM j
+"""
