@@ -39,6 +39,31 @@ def test_exact_quantiles_no_global_single_partition(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_grouped_quantiles_match_per_group_percentile_disc(spark):
+    import duckdb
+
+    rng_vals = {"a": [5] * 10 + list(range(100, 140)) + [9999],
+                "b": [1, 1, 2, 3, 1000], "c": [42]}
+    rows = [(g, v) for g, vs in rng_vals.items() for v in vs]
+
+    from transmogrify_webcrawler_spark.operators.quantiles import (
+        grouped_quantiles)
+
+    df = spark.createDataFrame(rows, "src string, x long")
+    q_bps = [1, 5000, 9000, 10000]
+    got = {(r["src"], r["q_bp"]): (r["value"], r["n_rows"])
+           for r in grouped_quantiles(df, "src", "x", q_bps,
+                                      block=16).collect()}
+    con = duckdb.connect()
+    for g, vs in rng_vals.items():
+        for q in q_bps:
+            (want,) = con.execute(
+                "SELECT percentile_disc(?) WITHIN GROUP (ORDER BY x)"
+                " FROM (SELECT unnest(?) AS x)",
+                [q / 10000, vs]).fetchone()
+            assert got[(g, q)] == (want, len(vs)), (g, q)
+
+
 def test_snapshot_delta_statuses(spark):
     from transmogrify_webcrawler_spark.operators.delta import (
         delta_summary, snapshot_delta)

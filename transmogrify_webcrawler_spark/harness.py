@@ -779,6 +779,24 @@ def _sql_exact_quantiles() -> str:
                                [100, 2500, 5000, 9000, 9900, 10000])
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-source exact percentiles of document length — the stratified
+    sibling of exact_quantiles with the same no-global-sort construction
+    (operators/quantiles.py grouped_quantiles)."""
+    from .operators.quantiles import grouped_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return grouped_quantiles(docs, "source", "n_chars",
+                             [2500, 5000, 9000, 9900])
+
+
+def _sql_grouped_quantiles() -> str:
+    from .operators.quantiles import grouped_quantiles_sql
+    return grouped_quantiles_sql("SELECT source, n_chars FROM documents",
+                                 "source", "n_chars",
+                                 [2500, 5000, 9000, 9900])
+
+
 def q_snapshot_delta(spark, sf_dir):
     """Recrawl snapshot diff over deterministically-perturbed twins of the
     documents table: old drops doc_id%10==0 (-> 'added' in new), new drops
@@ -2583,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cleaning_decision": q_cleaning_decision,
         "exact_quantiles": q_exact_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
         "snapshot_delta": q_snapshot_delta,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
@@ -2675,6 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "cleaning_decision": _sql_cleaning_decision(),
         "exact_quantiles": _sql_exact_quantiles(),
+        "grouped_quantiles": _sql_grouped_quantiles(),
         "snapshot_delta": _sql_snapshot_delta(),
         "normalize_text": _sql_normalize_text(),
         "bpe_merges": _sql_bpe_merges(),

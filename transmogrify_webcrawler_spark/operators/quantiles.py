@@ -87,3 +87,68 @@ FROM cum, tot, (VALUES {qvals}) q(q_bp)
 WHERE cum.cum * {_BP_DEN} >= q.q_bp * tot.n_rows
 GROUP BY q.q_bp, tot.n_rows
 """
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      q_bps: list[int], block: int = 4096) -> DataFrame:
+    """Per-GROUP exact quantiles — the stratified telemetry query (p50/p99
+    document length per source/language) with the same no-global-sort
+    construction as exact_quantiles: histogram collapses map-side per
+    (group, value), windows stay (group, block)-partitioned, and the
+    driver sees one bounded row per (group, block). Returns
+    (group_col, q_bp, value, n_rows) with PERCENTILE_DISC semantics
+    within each group."""
+    spark = df.sparkSession
+    vals = (df.select(F.col(group_col).alias("g"),
+                      F.col(value_col).cast("long").alias("v"))
+            .groupBy("g", "v").agg(F.count("*").alias("cnt"))
+            .withColumn("blk", F.expr(f"v DIV {int(block)}")))
+    w = Window.partitionBy("g", "blk").orderBy("v")
+    local = vals.withColumn("local_end", F.sum("cnt").over(w))
+    totals = sorted(
+        (r["g"], r["blk"], r["t"]) for r in
+        vals.groupBy("g", "blk").agg(F.sum("cnt").alias("t")).collect())
+    offsets, acc, cur = [], 0, None
+    group_n = {}
+    for g, blk, t in totals:
+        if g != cur:
+            cur, acc = g, 0
+        offsets.append((g, blk, acc))
+        acc += int(t)
+        group_n[g] = acc
+    off = spark.createDataFrame(offsets, f"g string, blk long, off long") \
+        if offsets else spark.createDataFrame([], "g string, blk long, off long")
+    ns = spark.createDataFrame(sorted(group_n.items()), "g string, n long")
+    cum = (local.join(F.broadcast(off), ["g", "blk"])
+           .select("g", "v",
+                   (F.col("off") + F.col("local_end")).alias("cum")))
+    qdim = spark.createDataFrame([(int(q),) for q in q_bps], "q_bp long")
+    hit = (cum.join(F.broadcast(ns), "g")
+           .crossJoin(F.broadcast(qdim))
+           .filter(F.col("cum") * _BP_DEN >= F.col("q_bp") * F.col("n")))
+    return (hit.groupBy("g", "q_bp")
+            .agg(F.min("v").alias("value"), F.max("n").alias("n_rows"))
+            .select(F.col("g").alias(group_col), "q_bp", "value",
+                    "n_rows"))
+
+
+def grouped_quantiles_sql(rows_sql: str, group_sql: str, value_sql: str,
+                          q_bps: list[int]) -> str:
+    """DuckDB oracle: per-group cumsum window, same integer ranks."""
+    qvals = ", ".join(f"({int(q)})" for q in q_bps)
+    return f"""
+WITH c AS (
+  SELECT {group_sql} AS g, CAST({value_sql} AS BIGINT) AS v,
+         count(*) AS cnt
+  FROM ({rows_sql}) GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c
+), tot AS (
+  SELECT g, sum(cnt) AS n FROM c GROUP BY g
+)
+SELECT cum.g AS {group_sql}, q.q_bp, min(cum.v) AS value,
+       CAST(tot.n AS BIGINT) AS n_rows
+FROM cum JOIN tot ON cum.g = tot.g, (VALUES {qvals}) q(q_bp)
+WHERE cum.cum * {_BP_DEN} >= q.q_bp * tot.n
+GROUP BY cum.g, q.q_bp, tot.n
+"""
