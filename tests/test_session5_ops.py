@@ -308,6 +308,43 @@ def test_rebalance_plan_rates_and_deficit(spark):
     assert got["ja"] == (0, 5, 0, 5)
 
 
+def test_session5_plan_shapes(spark):
+    """Plan assertions for the session-5 Catalyst ops: chunking is a pure
+    map stage (zero shuffles), bpe_encode shuffles exactly once (the
+    per-doc count), CMS counters partial-aggregate map-side, and
+    normalize_text crosses to Python exactly once."""
+    from pyspark.sql import functions as F
+    from transmogrify_webcrawler_spark.operators.bpe import bpe_encode
+    from transmogrify_webcrawler_spark.operators.chunking import (
+        chunk_documents)
+    from transmogrify_webcrawler_spark.operators.sketches import (
+        cms_counters)
+    from transmogrify_webcrawler_spark.operators.textops import (
+        normalize_text)
+
+    # createDataFrame (unknown partitioning), NOT spark.range: a range
+    # input already clusters doc_id per partition, so the groupBy plans
+    # WITHOUT the exchange the assertion is about
+    docs = spark.createDataFrame(
+        [(i, f"w {i}") for i in range(500)], "doc_id long, text string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(chunk_documents(docs, 128, 96))
+    assert "Exchange" not in p                      # pure map stage
+
+    p = plan(bpe_encode(docs, [("a", "b")]))
+    assert p.count("Exchange hashpartitioning") == 1  # one skinny shuffle
+
+    p = plan(cms_counters(docs.select(F.col("text").alias("k")), "k"))
+    assert "partial_count" in p                     # map-side combine
+
+    p = plan(normalize_text(docs))
+    assert p.count("ArrowEvalPython") == 1          # one UDF crossing
+    assert "BatchEvalPython" not in p               # never row-at-a-time
+
+
 def test_normalize_text_semantics(spark):
     """NFC composes combining marks, controls are stripped, whitespace
     collapses — and the result is a fixed point (idempotence)."""
