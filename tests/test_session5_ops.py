@@ -64,6 +64,21 @@ def test_grouped_quantiles_match_per_group_percentile_disc(spark):
             assert got[(g, q)] == (want, len(vs)), (g, q)
 
 
+def test_revisit_records_point_at_original(spark):
+    from transmogrify_webcrawler_spark.operators.cdx import revisit_records
+
+    caps = spark.createDataFrame(
+        [("u1", 1, "d1"), ("u2", 5, "d1"), ("u3", 3, "d1"),
+         ("u4", 9, "d2")],
+        "url string, ts long, digest string")
+    got = {r["url"]: (r["record_type"], r["orig_url"], r["orig_ts"])
+           for r in revisit_records(caps).collect()}
+    assert got["u1"] == ("response", None, None)    # earliest capture
+    assert got["u3"] == ("revisit", "u1", 1)        # ts order, not input
+    assert got["u2"] == ("revisit", "u1", 1)
+    assert got["u4"] == ("response", None, None)    # unique digest
+
+
 def test_snapshot_delta_statuses(spark):
     from transmogrify_webcrawler_spark.operators.delta import (
         delta_summary, snapshot_delta)

@@ -797,6 +797,40 @@ def _sql_grouped_quantiles() -> str:
                                  [2500, 5000, 9000, 9900])
 
 
+def q_revisit_records(spark, sf_dir):
+    """WARC revisit semantics: doc_id%3==0 rows get a later identical-
+    payload capture (doc_id+1000000, same text => same digest), which must
+    come out as record_type='revisit' pointing at the original url/ts;
+    the rest stay 'response' (operators/cdx.py revisit_records)."""
+    from .operators.cdx import revisit_records
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cap = d.select(
+        F.concat(F.lit("https://ex"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("doc_id").cast("long").alias("ts"),
+        F.md5(F.col("text").cast("binary")).alias("digest"))
+    twin = (d.filter(F.col("doc_id") % 3 == 0)
+            .select(F.concat(F.lit("https://mirror.com/p"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    (F.col("doc_id") + 1000000).cast("long").alias("ts"),
+                    F.md5(F.col("text").cast("binary")).alias("digest")))
+    return revisit_records(cap.unionByName(twin))
+
+
+def _sql_revisit_records() -> str:
+    from .operators.cdx import revisit_records_sql
+    caps = ("SELECT 'https://ex' || (doc_id % 40)::VARCHAR || '.com/p' ||"
+            " doc_id::VARCHAR AS url, CAST(doc_id AS BIGINT) AS ts,"
+            " md5(text) AS digest FROM documents"
+            " UNION ALL "
+            "SELECT 'https://mirror.com/p' || doc_id::VARCHAR AS url,"
+            " CAST(doc_id + 1000000 AS BIGINT) AS ts, md5(text) AS digest"
+            " FROM documents WHERE doc_id % 3 = 0")
+    return revisit_records_sql(caps)
+
+
 def q_snapshot_delta(spark, sf_dir):
     """Recrawl snapshot diff over deterministically-perturbed twins of the
     documents table: old drops doc_id%10==0 (-> 'added' in new), new drops
@@ -2603,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "snapshot_delta": q_snapshot_delta,
+        "revisit_records": q_revisit_records,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -2696,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles": _sql_exact_quantiles(),
         "grouped_quantiles": _sql_grouped_quantiles(),
         "snapshot_delta": _sql_snapshot_delta(),
+        "revisit_records": _sql_revisit_records(),
         "normalize_text": _sql_normalize_text(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),

@@ -124,3 +124,54 @@ def strip_tracking_sql(url_sql: str) -> str:
          f" '([?&]){TRACKING_PARAMS}=[^&#]*', '\\1', 'g')")
     u = f"regexp_replace({u}, '([?&])&+', '\\1', 'g')"
     return f"regexp_replace({u}, '[?&]+(#|$)', '\\1', 'g')"
+
+
+# ---- revisit-record detection -------------------------------------------------
+
+def revisit_records(captures: DataFrame, url_col: str = "url",
+                    ts_col: str = "ts",
+                    digest_col: str = "digest") -> DataFrame:
+    """WARC `revisit` semantics (the web-archive storage dedup): within
+    each payload digest, the FIRST capture (by ts, then url) is the stored
+    `response` record; every later identical capture becomes a `revisit`
+    pointing at the original — archives store the pointer, not the bytes
+    again. Returns (url, ts, digest, record_type, orig_url, orig_ts) with
+    record_type in {'response', 'revisit'}.
+
+    Scale shape: one window partitioned by digest (the dedup key the
+    store is already bucketed by) — first_value and row_number share the
+    single sort; no self-join, no pair space."""
+    w = (Window.partitionBy(digest_col)
+         .orderBy(F.col(ts_col), F.col(url_col)))
+    rk = F.row_number().over(w)
+    orig_url = F.first(url_col).over(w)
+    orig_ts = F.first(ts_col).over(w)
+    return captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.when(rk == 1, "response").otherwise("revisit")
+         .alias("record_type"),
+        F.when(rk == 1, None).otherwise(orig_url).alias("orig_url"),
+        F.when(rk == 1, None).otherwise(orig_ts).alias("orig_ts"))
+
+
+def revisit_records_sql(captures_sql: str, url_sql: str = "url",
+                        ts_sql: str = "ts",
+                        digest_sql: str = "digest") -> str:
+    """DuckDB oracle: identical single window."""
+    return f"""
+SELECT {url_sql} AS url, {ts_sql} AS ts, {digest_sql} AS digest,
+       CASE WHEN rk = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rk = 1 THEN NULL ELSE o_url END AS orig_url,
+       CASE WHEN rk = 1 THEN NULL ELSE o_ts END AS orig_ts
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY {digest_sql}
+                            ORDER BY {ts_sql}, {url_sql}) AS rk,
+         first_value({url_sql}) OVER (PARTITION BY {digest_sql}
+                            ORDER BY {ts_sql}, {url_sql}) AS o_url,
+         first_value({ts_sql}) OVER (PARTITION BY {digest_sql}
+                            ORDER BY {ts_sql}, {url_sql}) AS o_ts
+  FROM ({captures_sql})
+)
+"""
