@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "chunk_documents", "reciprocal_links", "inverted_postings",
     "image_features", "audio_features", "resolve_redirects",
     "strip_tracking", "canonical_quality", "rebalance_plan",
-    "grouped_quantiles", "revisit_records",
+    "grouped_quantiles", "revisit_records", "cdxj_export",
 ]
 
 

@@ -79,6 +79,23 @@ def test_revisit_records_point_at_original(spark):
     assert got["u4"] == ("response", None, None)    # unique digest
 
 
+def test_cdxj_line_format(spark):
+    from transmogrify_webcrawler_spark.operators.cdx import cdxj_lines
+
+    caps = spark.createDataFrame(
+        [("https://WWW.Sub.Example.COM:8080/a/b?x=1#frag", 20260818,
+          "sha1:ABC", 1234)],
+        "url string, ts long, digest string, length long")
+    (r,) = cdxj_lines(caps).collect()
+    assert r["surt"] == "com,example,sub)/a/b?x=1"
+    assert r["line"] == (
+        'com,example,sub)/a/b?x=1 20260818 '
+        '{"url": "https://WWW.Sub.Example.COM:8080/a/b?x=1#frag", '
+        '"digest": "sha1:ABC", "length": 1234}')
+    import json
+    assert json.loads(r["line"].split(" ", 2)[2])["length"] == 1234
+
+
 def test_snapshot_delta_statuses(spark):
     from transmogrify_webcrawler_spark.operators.delta import (
         delta_summary, snapshot_delta)

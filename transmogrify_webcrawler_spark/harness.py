@@ -831,6 +831,32 @@ def _sql_revisit_records() -> str:
     return revisit_records_sql(caps)
 
 
+def q_cdxj_export(spark, sf_dir):
+    """CDXJ index lines over synthesized captures (url/ts/digest/length
+    all doc_id-derived): the published web-archive index format, bytes
+    deterministic under the pinned key order (operators/cdx.py
+    cdxj_lines)."""
+    from .operators.cdx import cdxj_lines
+
+    did = F.col("doc_id")
+    caps = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://WWW.ex"), (did % 40).cast("string"),
+                 F.lit(".com:443/p"), did.cast("string")).alias("url"),
+        did.cast("long").alias("ts"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.col("n_chars").cast("long").alias("length"))
+    return cdxj_lines(caps)
+
+
+def _sql_cdxj_export() -> str:
+    from .operators.cdx import cdxj_lines_sql
+    caps = ("SELECT 'https://WWW.ex' || (doc_id % 40)::VARCHAR ||"
+            " '.com:443/p' || doc_id::VARCHAR AS url,"
+            " CAST(doc_id AS BIGINT) AS ts, md5(text) AS digest,"
+            " CAST(n_chars AS BIGINT) AS length FROM documents")
+    return cdxj_lines_sql(caps)
+
+
 def q_snapshot_delta(spark, sf_dir):
     """Recrawl snapshot diff over deterministically-perturbed twins of the
     documents table: old drops doc_id%10==0 (-> 'added' in new), new drops
@@ -2638,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "snapshot_delta": q_snapshot_delta,
         "revisit_records": q_revisit_records,
+        "cdxj_export": q_cdxj_export,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -2732,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _sql_grouped_quantiles(),
         "snapshot_delta": _sql_snapshot_delta(),
         "revisit_records": _sql_revisit_records(),
+        "cdxj_export": _sql_cdxj_export(),
         "normalize_text": _sql_normalize_text(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),

@@ -175,3 +175,45 @@ FROM (
   FROM ({captures_sql})
 )
 """
+
+
+# ---- CDXJ export --------------------------------------------------------------
+
+def cdxj_lines(captures: DataFrame, url_col: str = "url",
+               ts_col: str = "ts",
+               digest_col: str = "digest",
+               length_col: str = "length") -> DataFrame:
+    """CDXJ line synthesis — the JSON-lines index format web archives
+    publish (OpenWayback/pywb CDXJ: `<surt> <ts> <json-block>`): one
+    formatted line per capture, key order pinned (url, digest, length) so
+    the bytes are deterministic. Catalyst string ops only — the export
+    rides the capture-table scan, and writing sorted-by-(surt, ts) gives
+    the binary-searchable file the format exists for. Caller guarantees
+    urls need no JSON escaping (canonicalized urls here never contain
+    quote/backslash; a full escaper belongs to the writer stage).
+
+    Returns (surt, ts, line)."""
+    surt = surt_expr(F.col(url_col))
+    line = F.concat(
+        surt, F.lit(" "), F.col(ts_col).cast("string"), F.lit(" "),
+        F.lit('{"url": "'), F.col(url_col),
+        F.lit('", "digest": "'), F.col(digest_col),
+        F.lit('", "length": '), F.col(length_col).cast("string"),
+        F.lit("}"))
+    return captures.select(surt.alias("surt"),
+                           F.col(ts_col).cast("long").alias("ts"),
+                           line.alias("line"))
+
+
+def cdxj_lines_sql(captures_sql: str, url_sql: str = "url",
+                   ts_sql: str = "ts", digest_sql: str = "digest",
+                   length_sql: str = "length") -> str:
+    """DuckDB oracle: identical SURT derivation + concatenation."""
+    surt = surt_sql(url_sql)
+    return f"""
+SELECT {surt} AS surt, CAST({ts_sql} AS BIGINT) AS ts,
+       {surt} || ' ' || {ts_sql}::VARCHAR || ' ' ||
+       '{{"url": "' || {url_sql} || '", "digest": "' || {digest_sql} ||
+       '", "length": ' || {length_sql}::VARCHAR || '}}' AS line
+FROM ({captures_sql})
+"""
