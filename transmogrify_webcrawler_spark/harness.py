@@ -28,6 +28,45 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, name))
 
 
+def _readp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table and SPREAD the scan across the session's cores.
+
+    The driver's sf tables are single-file, single-row-group parquet
+    (documents 5.7 MB / 50k rows, lineitem 126 MB / 6M rows at sf1.0), so a
+    plain scan is ONE map task regardless of maxPartitionBytes — and
+    Catalyst fuses every per-row expression into the scan stage, which made
+    the whole text/dedup/sketch family run single-core (measured: the
+    explode+hash work, not the shuffle, dominated every heavy query;
+    guide §2.2/§6). A round-robin repartition to defaultParallelism moves
+    single-digit MB once and parallelizes the fused map work 32x.
+
+    Scale-adaptive, not a local[32] constant: the repartition only fires
+    when the scan has FEWER partitions than the session's parallelism —
+    on a properly-split 100 TB input (partitions >> cores) it is a no-op,
+    and the target derives from the master, never a hard-coded core count.
+    """
+    df = spark.read.parquet(_t(sf_dir, name))
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
+def _readpk(spark: SparkSession, sf_dir: str, name: str,
+            *by: str) -> DataFrame:
+    """_readp variant that spreads by HASH of the given columns instead of
+    round-robin: a keyless repartition pays a per-partition local sort of
+    its input (sortBeforeRepartition, guide §2.5) — pointless for the 6M-row
+    lineitem scans — while a hash repartition streams. When `by` is a prefix
+    of a downstream groupBy/distinct key the exchange is reused (guide §2.4)
+    and the aggregation runs fully parallel with no extra shuffle."""
+    df = spark.read.parquet(_t(sf_dir, name))
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want, *[F.col(c) for c in by])
+    return df
+
+
 # =============================================================================
 # crawl-operator analogs over the driver testdata (SQL-expressible — J/A/W/F/O)
 # =============================================================================
@@ -122,7 +161,7 @@ WHERE o_totalprice > 100000
 
 def q_backlink_collect(spark, sf_dir):
     """J4: backlink aggregation — sorted referrer list per target."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = _readpk(spark, sf_dir, "lineitem", "l_orderkey")
     return li.groupBy("l_orderkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list(
             F.col("l_partkey").cast("string")))).alias("backlinks"),
@@ -465,7 +504,7 @@ SELECT p_partkey, (p_partkey % 2 <> 0) AS allowed FROM part
 
 def q_dedup_exact(spark, sf_dir):
     from .operators.textops import dedup_exact
-    return dedup_exact(_read(spark, sf_dir, "documents"))
+    return dedup_exact(_readp(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = """
@@ -477,7 +516,7 @@ FROM documents GROUP BY 1
 
 def q_doc_fingerprint(spark, sf_dir):
     from .operators.textops import doc_fingerprint
-    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+    return doc_fingerprint(_readp(spark, sf_dir, "documents"))
 
 
 SQL_FINGERPRINT = """
@@ -488,7 +527,7 @@ FROM documents
 
 def q_lang_id(spark, sf_dir):
     from .operators.textops import lang_id
-    return lang_id(_read(spark, sf_dir, "documents"))
+    return lang_id(_readp(spark, sf_dir, "documents"))
 
 
 SQL_LANG_ID = """
@@ -514,7 +553,7 @@ FROM r
 
 def q_quality_score(spark, sf_dir):
     from .operators.textops import quality_score
-    return quality_score(_read(spark, sf_dir, "documents"))
+    return quality_score(_readp(spark, sf_dir, "documents"))
 
 
 SQL_QUALITY = """
@@ -540,7 +579,7 @@ FROM w
 
 def q_token_count(spark, sf_dir):
     from .operators.textops import token_count
-    return token_count(_read(spark, sf_dir, "documents"))
+    return token_count(_readp(spark, sf_dir, "documents"))
 
 
 SQL_TOKEN_COUNT = """
@@ -557,7 +596,7 @@ FROM documents
 
 def q_gopher_quality(spark, sf_dir):
     from .operators.textops import gopher_quality
-    return gopher_quality(_read(spark, sf_dir, "documents"))
+    return gopher_quality(_readp(spark, sf_dir, "documents"))
 
 
 SQL_GOPHER = """
@@ -628,7 +667,7 @@ FROM s
 
 def q_repetition_stats(spark, sf_dir):
     from .operators.textops import repetition_stats
-    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+    return repetition_stats(_readp(spark, sf_dir, "documents"), n=2)
 
 
 SQL_REPETITION = """
@@ -674,7 +713,7 @@ FROM documents d LEFT JOIN p USING (doc_id)
 
 def q_decontaminate(spark, sf_dir):
     from .operators.textops import decontaminate
-    return decontaminate(_read(spark, sf_dir, "documents"),
+    return decontaminate(_readp(spark, sf_dir, "documents"),
                          bench_mod=20, shingle_n=3, frac_threshold=0.8)
 
 
@@ -720,7 +759,7 @@ def q_cleaning_decision(spark, sf_dir):
     fires alongside the quality/language/repetition branches."""
     from .operators.pipeline import cleaning_decision
 
-    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _readp(spark, sf_dir, "documents").select("doc_id", "text")
     twin = base.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace(F.upper("text"), " ", "  ").alias("text"))
@@ -903,7 +942,7 @@ def q_normalize_text(spark, sf_dir):
     from .operators.textops import normalize_text
 
     suffix = "".join(chr(c) for c in _NFC_SUFFIX_CPS)
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _readp(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.col("text"), F.lit(suffix)))
@@ -925,7 +964,7 @@ def q_bpe_merges(spark, sf_dir):
     sequence engine-portable (operators/bpe.py)."""
     from .operators.bpe import bpe_merges
 
-    return bpe_merges(_read(spark, sf_dir, "documents"), k=6)
+    return bpe_merges(_readp(spark, sf_dir, "documents"), k=6)
 
 
 def _sql_bpe_merges() -> str:
@@ -947,7 +986,7 @@ def q_bpe_encode(spark, sf_dir):
     words/tokens per doc (operators/bpe.py bpe_encode)."""
     from .operators.bpe import bpe_encode
 
-    return bpe_encode(_read(spark, sf_dir, "documents"),
+    return bpe_encode(_readp(spark, sf_dir, "documents"),
                       _BPE_FIXED_MERGES)
 
 
@@ -965,11 +1004,15 @@ def q_cms_topk(spark, sf_dir):
     from .operators.sketches import cms_counters, cms_estimate
     from .operators.textops import words_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _readp(spark, sf_dir, "documents")
     occ = docs.select(F.explode(words_expr(F.col("text"))).alias("word"))
-    counters = cms_counters(occ, "word")
-    top = (occ.groupBy("word").agg(F.count("*").alias("exact_cnt"))
-           .orderBy(F.col("exact_cnt").desc(), F.col("word")).limit(20))
+    # one pass over the occurrences serves both the sketch and the exact
+    # top-20 (the old shape exploded + counted the corpus twice)
+    per_word = (occ.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+                .persist())
+    counters = cms_counters(per_word, "word", weight_col="exact_cnt")
+    top = per_word.orderBy(F.col("exact_cnt").desc(),
+                           F.col("word")).limit(20)
     est = cms_estimate(counters, top, "word")
     return (top.join(est, "word")
             .select("word", "exact_cnt", "cms_est",
@@ -1017,7 +1060,7 @@ def q_warc_roundtrip(spark, sf_dir):
     framing, gzip members, HTTP block, and payload bytes all survive."""
     from pyspark.sql import functions as F
     from .sources.warc import synthesize_warc, warc_records
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _readp(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://example.org/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text").cast("binary").alias("payload"),
@@ -1044,7 +1087,7 @@ def q_wet_export(spark, sf_dir):
     per conversion record. Oracle = plain projection; equality proves the
     conversion framing and text bytes survive."""
     from .sources.warc import synthesize_wet, warc_records
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _readp(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://example.org/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
@@ -1108,7 +1151,7 @@ def q_kmeans(spark, sf_dir):
     assignment AND the distances bit-exact under any partitioning — the
     oracle equality is exact, not tolerance-based."""
     from .operators.clustering import kmeans_exact
-    return kmeans_exact(_read(spark, sf_dir, "embeddings"),
+    return kmeans_exact(_readp(spark, sf_dir, "embeddings"),
                         k=8, iterations=3, dim=64)
 
 
@@ -1145,7 +1188,7 @@ def _sql_stratified_topn() -> str:
 
 def q_pack_sequences(spark, sf_dir):
     from .operators.sampling import pack_sequences
-    return pack_sequences(_read(spark, sf_dir, "documents"),
+    return pack_sequences(_readp(spark, sf_dir, "documents"),
                           context_len=2048, block=64)
 
 
@@ -1170,7 +1213,7 @@ def q_trap_urls(spark, sf_dir):
                F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"))
          .when(d % 11 == 0, F.lit("?x=1")).otherwise(F.lit("")),
     )
-    urls = _read(spark, sf_dir, "documents").select(url.alias("url"))
+    urls = _readp(spark, sf_dir, "documents").select(url.alias("url"))
     return trap_signals(urls)
 
 
@@ -1285,7 +1328,7 @@ FROM a
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.textops import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.2
+        _readp(spark, sf_dir, "documents"), threshold=0.2
     ).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -1331,7 +1374,7 @@ def q_dup_clusters(spark, sf_dir):
     from .operators.graph import connected_components
     from .operators.textops import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+    pairs = ngram_jaccard_pairs(_readp(spark, sf_dir, "documents"),
                                 threshold=0.2)
     return connected_components(pairs, iterations=6, src="a", dst="b")
 
@@ -1376,7 +1419,7 @@ def q_canonical_quality(spark, sf_dir):
     from .operators.graph import canonical_by_quality
     from .operators.textops import ngram_jaccard_pairs, words_expr
 
-    d = _read(spark, sf_dir, "documents")
+    d = _readp(spark, sf_dir, "documents")
     docs = d.select("doc_id",
                     F.size(words_expr(F.col("text"))).cast("long")
                     .alias("quality"))
@@ -1399,7 +1442,7 @@ def q_pagerank(spark, sf_dir):
     All-BIGINT arithmetic makes the result bit-exact under any partitioning,
     so the oracle equality is exact, not tolerance-based."""
     from .operators.graph import pagerank_fixed
-    return pagerank_fixed(_read(spark, sf_dir, "lineitem"), iterations=3,
+    return pagerank_fixed(_readpk(spark, sf_dir, "lineitem", "l_orderkey"), iterations=3,
                           src="l_orderkey", dst="l_partkey")
 
 
@@ -1415,7 +1458,7 @@ def q_hits(spark, sf_dir):
     all-BIGINT arithmetic) over the same order->part link graph as
     pagerank — bit-exact under any partitioning, exact oracle equality."""
     from .operators.graph import hits_fixed
-    return hits_fixed(_read(spark, sf_dir, "lineitem"), iterations=2,
+    return hits_fixed(_readpk(spark, sf_dir, "lineitem", "l_orderkey"), iterations=2,
                       src="l_orderkey", dst="l_partkey")
 
 
@@ -1435,7 +1478,7 @@ def q_inverted_postings(spark, sf_dir):
     terms that provably survive both cuts (operators/textops.py)."""
     from .operators.textops import inverted_postings
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _readp(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" t"),
                  (F.col("doc_id") % 97).cast("string"), F.lit(" t"),
@@ -1457,7 +1500,7 @@ def q_reciprocal_links(spark, sf_dir):
     reciprocity percentage (operators/graph.py reciprocal_links)."""
     from .operators.graph import reciprocal_links
 
-    li = _read(spark, sf_dir, "lineitem")
+    li = _readpk(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
     fwd = li.select(F.col("l_orderkey").alias("src"),
                     F.col("l_partkey").alias("dst"))
     mirror = (li.filter(F.col("l_linenumber") == 1)
@@ -1569,7 +1612,7 @@ def q_dedup_retention(spark, sf_dir):
     keep/drop decision with the canonical (cluster-min) doc id."""
     from .operators.textops import dedup_retention, ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _readp(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
     return dedup_retention(docs, pairs, iterations=6)
 
@@ -1597,7 +1640,7 @@ def q_pii_redact(spark, sf_dir):
     subset so both engines find the identical match set."""
     from .operators.pii import pii_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _readp(spark, sf_dir, "documents")
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -1630,7 +1673,7 @@ def q_minhash_verified(spark, sf_dir):
     J=1.0 pairs are found with certainty: identical signatures)."""
     from .operators.textops import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _readp(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, threshold=0.0)  # ALL band candidates
     exact = ngram_jaccard_pairs(docs, threshold=0.95)
     return exact.join(cand.select("a", "b"), ["a", "b"], "left_semi") \
@@ -1651,7 +1694,7 @@ def q_minhash_incremental(spark, sf_dir):
     equality asserts 100% recall of the index-probe path."""
     from .operators.textops import minhash_index, minhash_probe, words_expr
 
-    base = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+    base = _readp(spark, sf_dir, "documents").select("doc_id", "text") \
         .filter(F.size(words_expr(F.col("text"))) >= 3)
     twin = base.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1692,7 +1735,7 @@ def q_simhash_verified(spark, sf_dir):
     pairs."""
     from .operators.textops import simhash_pairs
 
-    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _readp(spark, sf_dir, "documents").select("doc_id", "text")
     twin = base.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace(F.upper("text"), " ", "  ").alias("text"))
@@ -1732,7 +1775,7 @@ def q_knn_cosine(spark, sf_dir):
     Both sides compute in float64 over the same values."""
     from .operators.similarity import brute_force_knn
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _readp(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
          .alias("embedding"))
@@ -1769,7 +1812,7 @@ def q_embedding_dedup(spark, sf_dir):
     the full LSH candidate pipeline + exact-cosine verify."""
     from .operators.similarity import cosine_dedup_pairs
 
-    base = _read(spark, sf_dir, "embeddings").filter(
+    base = _readp(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 500).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
@@ -1894,13 +1937,13 @@ def q_crawl_mini(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     from .operators.textops import minhash_lsh_pairs
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+    return minhash_lsh_pairs(_readp(spark, sf_dir, "documents"),
                              threshold=0.2)
 
 
 def q_simhash(spark, sf_dir):
     from .operators.textops import simhash_pairs
-    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_pairs(_readp(spark, sf_dir, "documents"), max_hamming=8)
 
 
 def q_lsh_knn(spark, sf_dir):
@@ -2303,7 +2346,7 @@ def q_dup_span_stats(spark, sf_dir):
     spans. All-integer output — bit-exact vs the oracle's identical
     digest-join + lag-window recurrence."""
     from .operators.textops import duplicate_span_stats
-    return duplicate_span_stats(_read(spark, sf_dir, "documents"),
+    return duplicate_span_stats(_readp(spark, sf_dir, "documents"),
                                 k=5, min_count=2)
 
 
@@ -2386,7 +2429,7 @@ def q_c4_filters(spark, sf_dir):
     punctuation keep, min-words drop, javascript-line drop, lorem-ipsum and
     curly-brace whole-document drops."""
     from .operators.textops import c4_filters
-    return c4_filters(_c4_fixture(_read(spark, sf_dir, "documents")),
+    return c4_filters(_c4_fixture(_readp(spark, sf_dir, "documents")),
                       min_words=4)
 
 
@@ -2541,7 +2584,7 @@ def q_cdx_index(spark, sf_dir):
         F.when(pk % 7 == 0, F.lit("?q=1")).otherwise(F.lit("")),
         F.when(pk % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    return cdx_index(_read(spark, sf_dir, "part").select(url.alias("url")))
+    return cdx_index(_readp(spark, sf_dir, "part").select(url.alias("url")))
 
 
 SQL_CDX_INDEX = """
@@ -2573,7 +2616,7 @@ def q_hll_cardinality(spark, sf_dir):
     bit-for-bit (operators/sketches.py)."""
     from .operators.sketches import hll_cardinality
 
-    keys = _read(spark, sf_dir, "lineitem").select(
+    keys = _readpk(spark, sf_dir, "lineitem", "l_partkey").select(
         F.concat(F.lit("k:"), F.col("l_partkey").cast("string")).alias("k"))
     est = hll_cardinality(keys, "k")
     exact = keys.agg(F.countDistinct("k").cast("long").alias("n_exact"))
@@ -2594,7 +2637,7 @@ def q_tfidf_topk(spark, sf_dir):
     IEEE division of exact integers, so the DOUBLE matches DuckDB bit-wise;
     ties break on the term string)."""
     from .operators.textops import tfidf_topk
-    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+    return tfidf_topk(_readp(spark, sf_dir, "documents"), k=3)
 
 
 SQL_TFIDF = """

@@ -26,21 +26,32 @@ def cleaning_decision(docs: DataFrame, rep_threshold: float = 0.5,
                       text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id, is_canonical, passes_gopher, dup_gram_frac,
     lang_pred, keep, reason) for every input document."""
-    from .textops import (doc_fingerprint, gopher_quality, lang_id,
-                          repetition_stats)
+    from .textops import _gopher_exprs, _lang_id_exprs, _repetition_exprs
 
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    fp = doc_fingerprint(d)
-    canon = fp.groupBy("fingerprint").agg(
+    # All three per-row signal families (Gopher, repetition, language) are
+    # pure Catalyst expressions over the text column, so they fuse into ONE
+    # map projection over a single scan — the former shape ran four
+    # separate passes over the input and three doc_id equi-joins to stitch
+    # per-row facts back together (guide §2.4: those shuffles carried
+    # nothing a projection didn't already have). The only shuffles left are
+    # the two the duplicate check fundamentally needs: the fingerprint
+    # aggregation and its join-back.
+    gopher = _gopher_exprs(text_col)
+    rep = _repetition_exprs(2, text_col)
+    lg = _lang_id_exprs(text_col)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        gopher["passes_gopher"].alias("passes_gopher"),
+        rep["dup_gram_frac"].alias("dup_gram_frac"),
+        lg["lang_pred"].alias("lang_pred"),
+    )
+    canon = sig.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_id"))
-    dedup = (fp.join(canon, "fingerprint")
-             .select("doc_id", "canonical_id",
-                     (F.col("doc_id") == F.col("canonical_id"))
-                     .alias("is_canonical")))
-    g = gopher_quality(d).select("doc_id", "passes_gopher")
-    r = repetition_stats(d, n=2).select("doc_id", "dup_gram_frac")
-    lg = lang_id(d).select("doc_id", "lang_pred")
-    j = (dedup.join(g, "doc_id").join(r, "doc_id").join(lg, "doc_id"))
+    j = (sig.join(canon, "fingerprint")
+         .withColumn("is_canonical",
+                     F.col("doc_id") == F.col("canonical_id")))
     lang_ok = F.col("lang_pred") == lang
     rep_ok = F.col("dup_gram_frac") < rep_threshold
     keep = (F.col("is_canonical") & lang_ok & F.col("passes_gopher")

@@ -199,17 +199,23 @@ def rebalance_plan(docs: DataFrame, targets_bp: dict[str, int],
                  F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
                  F.coalesce("target_bp", F.lit(0)).alias("target_bp"),
                  "total"))
-    needed = F.expr("(target_bp * total) DIV 10000")
+    # all plan arithmetic stays exact BIGINT (needed_i); needed/deficit are
+    # then EMITTED as DOUBLE because the DuckDB oracle derives both from
+    # sum(BIGINT) -> HUGEINT, which pandas materializes as float64 — the
+    # driver's value hash compares materialized values, so the Spark side
+    # must land on the identical dtype (CORRECTNESS_r05 red; values were
+    # verified identical row-by-row). Counts < 2^53, doubles exact.
+    j = j.withColumn("needed_i", F.expr("(target_bp * total) DIV 10000"))
     rate = F.when(F.col("n_docs") > 0,
                   F.least(F.lit(10000),
-                          F.expr("(needed * 10000) DIV n_docs"))) \
+                          F.expr("(needed_i * 10000) DIV n_docs"))) \
             .otherwise(F.lit(0))
-    return (j.withColumn("needed", needed)
-            .withColumn("rate_bp", rate.cast("long"))
+    return (j.withColumn("rate_bp", rate.cast("long"))
+            .withColumn("needed", F.col("needed_i").cast("double"))
             .withColumn("deficit",
-                        (F.col("needed")
-                         - F.least("needed", F.col("n_docs")))
-                        .cast("long"))
+                        (F.col("needed_i")
+                         - F.least("needed_i", F.col("n_docs")))
+                        .cast("double"))
             .select("stratum", "n_docs", "target_bp", "needed",
                     "rate_bp", "deficit"))
 

@@ -90,9 +90,11 @@ def _cms_bucket(r, key):
     return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
 
 
-def cms_counters(df: DataFrame, key) -> DataFrame:
+def cms_counters(df: DataFrame, key, weight_col: str | None = None) -> DataFrame:
     """Count-Min sketch counter table (row, bucket, cnt) over one
-    occurrence per input row of `key` (Cormode & Muthukrishnan 2005).
+    occurrence per input row of `key` (Cormode & Muthukrishnan 2005) —
+    or, with `weight_col`, over pre-aggregated (key, count) rows so a
+    caller that already owns the frequency table doesn't re-expand it.
 
     Why this shape at 100 TB: exact heavy-hitter counting shuffles the full
     key universe; the CMS collapses every partition to <= d*w = 1024
@@ -102,12 +104,23 @@ def cms_counters(df: DataFrame, key) -> DataFrame:
     counters — deterministic integers, bit-identical on any engine or
     partitioning, with the one-sided guarantee est >= true count."""
     key = F.col(key) if isinstance(key, str) else key
-    rows = df.select(key.alias("k"),
-                     F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
-                     .alias("r"))
-    return (rows.select("r", _cms_bucket(F.col("r"), F.col("k"))
+    # Collapse to per-KEY counts first, then hash only the distinct keys:
+    # the former shape md5-hashed every OCCURRENCE d times (4 md5/row —
+    # ~11M digests at sf1.0, pure map CPU), where hashing the distinct key
+    # once per sketch row and SUMMING its count produces the identical
+    # counter table (guide §1.2 step 2: same shuffle shape — both partial-
+    # aggregate map-side — ~99% less hashing).
+    if weight_col is not None:
+        per_key = df.select(key.alias("k"),
+                            F.col(weight_col).cast("long").alias("c"))
+    else:
+        per_key = df.groupBy(key.alias("k")).agg(F.count("*").alias("c"))
+    rows = per_key.select("k", "c",
+                          F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                          .alias("r"))
+    return (rows.select("r", "c", _cms_bucket(F.col("r"), F.col("k"))
                         .alias("bucket"))
-            .groupBy("r", "bucket").agg(F.count("*").alias("cnt")))
+            .groupBy("r", "bucket").agg(F.sum("c").alias("cnt")))
 
 
 def cms_estimate(counters: DataFrame, keys: DataFrame,

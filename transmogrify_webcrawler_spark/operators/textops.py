@@ -35,11 +35,25 @@ def words_expr(text):
 
 
 def shingles_expr(words, n: int = 3):
-    """Word n-gram shingles as strings (distinct NOT applied here)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    """Word n-gram shingles as strings (distinct NOT applied here).
+
+    Built from n-1 zip_with passes over offset slices instead of a
+    transform(sequence, i -> concat_ws(slice(words, i+1, n))) — the
+    per-index slice+concat_ws lambda was the hot path of every shingle
+    consumer (measured 12.7 s -> 2.4 s for repetition_stats at sf1.0; the
+    zip_with form streams each slice once). Strings are identical,
+    including the legacy short-document case: a doc with < n words yields
+    exactly one shingle joining all its words (the old sequence(0,
+    greatest(size-n, 0)) emitted one truncated slice there), and an empty
+    doc yields [''] which every consumer filters."""
+    m = F.size(words)
+    ln = F.greatest(m - (n - 1), F.lit(0))  # slice len, safe for short docs
+    full = F.slice(words, 1, ln)
+    for j in range(1, n):
+        full = F.zip_with(full, F.slice(words, j + 1, ln),
+                          lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(m >= n, full).otherwise(
+        F.array(F.concat_ws(" ", words)))
 
 
 def doc_shingles(docs: DataFrame, n: int = 3,
@@ -288,35 +302,75 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         .alias("simhash"))
 
 
+SIMHASH_BROADCAST_MAX_DOCS = 1_000_000  # ~4M chunk rows / ~100 MB relation
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Banding: split
     the 64-bit hash into 4x16-bit chunks — any pair within hamming 3 agrees
     on >=1 chunk (pigeonhole), so the self-join runs per chunk bucket, never
-    all-pairs. Exact hamming check via bit_count(a XOR b)."""
+    all-pairs. Exact hamming check via bit_count(a XOR b).
+
+    Pair-space shape (this output is inherently quadratic on clustered
+    corpora — 15% of ALL pairs sit within hamming 8 of each other on the
+    sf1.0 documents fixture): the original plan deduped the up-to-4x
+    candidate multiset with a post-join `distinct()`, i.e. one Exchange
+    carrying every candidate pair (~GBs at sf1.0, the whole 117 s wall),
+    and hot 16-bit buckets made the generating task a straggler. Now:
+
+    - dedup is a MAP-SIDE predicate, not a shuffle: a pair is emitted only
+      by its LOWEST agreeing chunk (recomputable from ha/hb in-row), so
+      each qualifying pair appears exactly once and nothing shuffles after
+      the join (guide §2.4 — remove the exchange outright).
+    - the exact-hamming filter runs BEFORE the dedup predicate (cheapest
+      first; most candidates at the default hamming 3 die here).
+    - under SIMHASH_BROADCAST_MAX_DOCS the build side broadcasts and the
+      probe side spreads round-robin, so hot buckets cost the same as cold
+      ones (every task probes the same hash relation with an even mix of
+      rows — skew-free by construction, guide §2.5/§3.1); above it the
+      banded shuffle join remains, still without the distinct.
+    """
     sig = simhash_signatures(docs).persist()
-    chunks = sig.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(c).alias("chunk_id"),
-                F.shiftright("simhash", c * 16).bitwiseAND(
-                    F.lit(0xFFFF)).alias("chunk_val"),
-            ) for c in range(4)
-        ])).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
-    pairs = (
-        chunks.alias("x").join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+    n_docs = sig.count()  # also materializes the cache both sides reuse
+
+    def _chunks(side):
+        return side.select(
+            "doc_id", "simhash",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright("simhash", c * 16).bitwiseAND(
+                        F.lit(0xFFFF)).alias("chunk_val"),
+                ) for c in range(4)
+            ])).alias("ck"),
+        ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    probe = _chunks(sig.repartition(parallelism))
+    build = _chunks(sig)
+    if n_docs <= SIMHASH_BROADCAST_MAX_DOCS:
+        build = F.broadcast(build)
+    joined = (
+        probe.alias("x").join(build.alias("y"), ["chunk_id", "chunk_val"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
-                F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+                F.col("x.simhash").alias("ha"),
+                F.col("y.simhash").alias("hb"),
+                F.col("chunk_id"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
     )
+
+    def _agree(c):
+        return (F.shiftright("ha", c * 16).bitwiseAND(F.lit(0xFFFF))
+                == F.shiftright("hb", c * 16).bitwiseAND(F.lit(0xFFFF)))
+
+    first_agreeing = (
+        F.when(_agree(0), 0).when(_agree(1), 1).when(_agree(2), 2)
+        .otherwise(3))
+    return (joined.filter(F.col("chunk_id") == first_agreeing)
+            .select("a", "b", "hamming"))
 
 
 # ---- language ID / quality / tokens ---------------------------------------------
@@ -324,21 +378,31 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 _EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: English stopword hit-ratio over tokens.
-    SQL-portable by construction (CASE + array ops both engines support)."""
+def _lang_id_exprs(text_col: str = "text") -> dict:
+    """Per-row language-ID expressions ({stopword_ratio, lang_pred}) —
+    shared by lang_id and the fused cleaning_decision map stage."""
     words = words_expr(F.col(text_col))
     hits = F.size(F.filter(
         words, lambda w: w.isin(*[F.lit(s) for s in _EN_STOPWORDS])
     ))
     ratio = F.when(F.size(words) > 0,
                    hits.cast("double") / F.size(words)).otherwise(F.lit(0.0))
+    return {
+        "stopword_ratio": F.round(ratio, 4),
+        "lang_pred": F.when(ratio >= 0.08, F.lit("en"))
+                      .otherwise(F.lit("und")),
+    }
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English stopword hit-ratio over tokens.
+    SQL-portable by construction (CASE + array ops both engines support)."""
+    ex = _lang_id_exprs(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(ratio, 4).alias("stopword_ratio"),
-        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("und"))
-         .alias("lang_pred"),
+        ex["stopword_ratio"].alias("stopword_ratio"),
+        ex["lang_pred"].alias("lang_pred"),
     )
 
 
@@ -397,18 +461,11 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
 _GOPHER_BULLETS = ("- ", "* ", "• ")
 
 
-def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Gopher-rules quality signals + verdict, all whole-stage-codegen
-    Catalyst (zero shuffle: every signal is a per-row array expression).
-
-    Signals: word count, mean word length, symbol-to-word ratio ('#' and
-    '...'), bullet-start / ellipsis-end line fractions, fraction of words
-    containing an alphabetic character, distinct-stopword hits, duplicate
-    -line fraction (by line and by character mass). `passes_gopher` applies
-    the published thresholds (50<=words<=100k, 3<=mean_wlen<=10,
-    symbol<0.1, bullets<0.9, ellipsis<0.3, alpha>0.8, stopwords>=2,
-    dup_lines<0.3)."""
+def _gopher_exprs(text_col: str = "text") -> dict:
+    """Per-row Gopher signal expressions — shared by gopher_quality and the
+    fused cleaning_decision map stage (each value is a Column over the text
+    column; no DataFrame involved, so callers can fuse them into whatever
+    projection they already run)."""
     t = F.col(text_col)
     words = words_expr(t)
     n_words = F.size(words)
@@ -452,64 +509,129 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
               & (symbol_ratio < 0.1) & (frac_bullet < 0.9)
               & (frac_ellipsis < 0.3) & (frac_alpha > 0.8)
               & (stop_hits >= 2) & (frac_dup_lines < 0.3))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "frac_bullet_lines": F.round(frac_bullet, 4),
+        "frac_ellipsis_lines": F.round(frac_ellipsis, 4),
+        "frac_alpha_words": F.round(frac_alpha, 4),
+        "n_stopwords": stop_hits,
+        "frac_dup_lines": F.round(frac_dup_lines, 4),
+        "frac_dup_line_chars": F.round(frac_dup_chars, 4),
+        "passes_gopher": passes,
+    }
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality signals + verdict, all whole-stage-codegen
+    Catalyst (zero shuffle: every signal is a per-row array expression).
+
+    Signals: word count, mean word length, symbol-to-word ratio ('#' and
+    '...'), bullet-start / ellipsis-end line fractions, fraction of words
+    containing an alphabetic character, distinct-stopword hits, duplicate
+    -line fraction (by line and by character mass). `passes_gopher` applies
+    the published thresholds (50<=words<=100k, 3<=mean_wlen<=10,
+    symbol<0.1, bullets<0.9, ellipsis<0.3, alpha>0.8, stopwords>=2,
+    dup_lines<0.3)."""
+    ex = _gopher_exprs(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(frac_bullet, 4).alias("frac_bullet_lines"),
-        F.round(frac_ellipsis, 4).alias("frac_ellipsis_lines"),
-        F.round(frac_alpha, 4).alias("frac_alpha_words"),
-        stop_hits.alias("n_stopwords"),
-        F.round(frac_dup_lines, 4).alias("frac_dup_lines"),
-        F.round(frac_dup_chars, 4).alias("frac_dup_line_chars"),
-        passes.alias("passes_gopher"),
+        *[ex[name].alias(name) for name in (
+            "n_words", "mean_word_len", "symbol_ratio",
+            "frac_bullet_lines", "frac_ellipsis_lines", "frac_alpha_words",
+            "n_stopwords", "frac_dup_lines", "frac_dup_line_chars",
+            "passes_gopher")],
     )
+
+
+def _repetition_exprs(n: int, text_col: str = "text") -> dict:
+    """Per-ROW repetition profile expressions — the distributed gram
+    explode + two aggregations this replaced shuffled ~(words per doc)
+    rows per document twice; but every statistic is a function of ONE
+    document's gram multiset, so it computes inside the scan stage with
+    zero shuffle (guide §2.4): sort the row's gram array and fold it once,
+    counting runs of equal grams (a run of length c IS the per-gram count
+    the groupBy used to produce). Values are bit-identical: the same
+    integer counts feed the same double divisions.
+
+    Returns {n_grams, top_gram_frac, dup_gram_frac, dup_char_frac} Column
+    expressions (n_grams as double — see repetition_stats docstring)."""
+    words = words_expr(F.col(text_col))
+    grams = F.filter(
+        F.when(F.size(words) >= n, shingles_expr(words, n))
+         .otherwise(F.array().cast("array<string>")),
+        lambda g: g != F.lit(""))
+    g = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+
+    def _flush(acc):
+        # fold the trailing run into (top, dup, dupch)
+        return (
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, acc["run"])
+             .otherwise(zero)).alias("dup"),
+            (acc["dupch"] + F.when(acc["run"] >= 2,
+                                   acc["run"] * F.length(acc["prev"]))
+             .otherwise(zero)).alias("dupch"),
+        )
+
+    st = F.aggregate(
+        g,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("top"), zero.alias("dup"),
+                 zero.alias("dupch")),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(acc["prev"].alias("prev"),
+                     (acc["run"] + 1).alias("run"), acc["top"].alias("top"),
+                     acc["dup"].alias("dup"), acc["dupch"].alias("dupch")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     *_flush(acc))),
+        lambda acc: F.struct(*_flush(acc)),
+    )
+    ng = F.size(g).cast("long")
+    chars = F.aggregate(g, zero, lambda acc, x: acc + F.length(x))
+    return {
+        "n_grams": ng.cast("double"),
+        "top_gram_frac": F.round(
+            F.when(ng > 0, st["top"].cast("double") / ng)
+            .otherwise(F.lit(0.0)), 4),
+        "dup_gram_frac": F.round(
+            F.when(ng > 0, st["dup"].cast("double") / ng)
+            .otherwise(F.lit(0.0)), 4),
+        "dup_char_frac": F.round(
+            F.when(chars > 0, st["dupch"].cast("double") / chars)
+            .otherwise(F.lit(0.0)), 4),
+    }
 
 
 def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-document n-gram repetition profile (the Gopher 'fraction of
-    characters in duplicate n-grams' family). Distributed shape: explode
-    NON-distinct word n-grams, count per (doc, gram) — partial aggregation
-    combines map-side so the shuffle carries (doc_id, gram-hash) counts —
-    then one skinny per-doc rollup. Docs with < n words report zeros.
+    characters in duplicate n-grams' family), computed per ROW with zero
+    shuffle (_repetition_exprs — the former explode + double groupBy +
+    join-back moved ~|words| rows per doc through two exchanges for a
+    statistic that never crosses documents). Docs with < n words report
+    zeros.
 
     Returns (doc_id, n_grams, top_gram_frac, dup_gram_frac,
     dup_char_frac): occurrence share of the most common gram, occurrence
     share of all grams seen more than once, and the same weighted by gram
-    character mass."""
-    words = words_expr(F.col(text_col))
-    grams = docs.select(
+    character mass. n_grams is emitted as DOUBLE: the driver's DuckDB
+    oracle computes it via sum(BIGINT) -> HUGEINT which lands in pandas as
+    float64, and the driver's value hash compares materialized values —
+    CORRECTNESS_r05's one red family (475.0 vs 475, values identical).
+    Counts are < 2^53 so the double is exact."""
+    ex = _repetition_exprs(n, text_col)
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(F.size(words) >= n, shingles_expr(words, n))
-             .otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    ).filter(F.col("gram") != "")
-    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    per_doc = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.max("c").alias("top_c"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-         .alias("dup_c"),
-        F.sum(F.col("c") * F.length("gram")).alias("chars"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
-               .otherwise(0)).alias("dup_chars"),
-    )
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    joined = ids.join(per_doc, "doc_id", "left")
-    ng = F.coalesce("n_grams", F.lit(0))
-    return joined.select(
-        "doc_id",
-        ng.alias("n_grams"),
-        F.round(F.when(ng > 0, F.col("top_c").cast("double") / ng)
-                .otherwise(F.lit(0.0)), 4).alias("top_gram_frac"),
-        F.round(F.when(ng > 0, F.col("dup_c").cast("double") / ng)
-                .otherwise(F.lit(0.0)), 4).alias("dup_gram_frac"),
-        F.round(F.when(F.coalesce("chars", F.lit(0)) > 0,
-                       F.col("dup_chars").cast("double") / F.col("chars"))
-                .otherwise(F.lit(0.0)), 4).alias("dup_char_frac"),
+        ex["n_grams"].alias("n_grams"),
+        ex["top_gram_frac"].alias("top_gram_frac"),
+        ex["dup_gram_frac"].alias("dup_gram_frac"),
+        ex["dup_char_frac"].alias("dup_char_frac"),
     )
 
 
@@ -534,19 +656,25 @@ def decontaminate(docs: DataFrame, bench_mod: int = 20, shingle_n: int = 3,
     bsh = doc_shingles(bench, shingle_n, text_col=text_col) \
         .select("shingle").distinct()
     csh = doc_shingles(corpus, shingle_n, text_col=text_col)
-    sizes = csh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (csh.join(bsh, "shingle")
-            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
-    frac = (F.coalesce("n_contaminated", F.lit(0)).cast("double")
-            / F.col("n_shingles"))
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id", "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(frac, 4).alias("contamination_frac"),
-            (frac >= frac_threshold).alias("is_contaminated"),
-        )
+    # ONE pass over the corpus shingles (the old sizes/hits pair computed
+    # doc_shingles twice — no ReusedExchange possible across the two
+    # aggregation subtrees): left-join the bench set as a per-shingle flag,
+    # then a single per-doc rollup counts total and contaminated together.
+    # The bench side is broadcast outright — benchmarks are MBs by
+    # definition while the corpus is TBs (guide §3.1), so the corpus-side
+    # shingles never shuffle; the only exchange left is the skinny per-doc
+    # count rollup.
+    flagged = csh.join(
+        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "shingle", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return agg.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        F.round(frac, 4).alias("contamination_frac"),
+        (frac >= frac_threshold).alias("is_contaminated"),
     )
 
 
