@@ -161,7 +161,7 @@ WHERE o_totalprice > 100000
 
 def q_backlink_collect(spark, sf_dir):
     """J4: backlink aggregation — sorted referrer list per target."""
-    li = _readpk(spark, sf_dir, "lineitem", "l_orderkey")
+    li = _read(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list(
             F.col("l_partkey").cast("string")))).alias("backlinks"),
@@ -504,7 +504,7 @@ SELECT p_partkey, (p_partkey % 2 <> 0) AS allowed FROM part
 
 def q_dedup_exact(spark, sf_dir):
     from .operators.textops import dedup_exact
-    return dedup_exact(_readp(spark, sf_dir, "documents"))
+    return dedup_exact(_read(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = """
@@ -1060,7 +1060,7 @@ def q_warc_roundtrip(spark, sf_dir):
     framing, gzip members, HTTP block, and payload bytes all survive."""
     from pyspark.sql import functions as F
     from .sources.warc import synthesize_warc, warc_records
-    docs = _readp(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://example.org/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text").cast("binary").alias("payload"),
@@ -1087,7 +1087,7 @@ def q_wet_export(spark, sf_dir):
     per conversion record. Oracle = plain projection; equality proves the
     conversion framing and text bytes survive."""
     from .sources.warc import synthesize_wet, warc_records
-    docs = _readp(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://example.org/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
@@ -1188,7 +1188,7 @@ def _sql_stratified_topn() -> str:
 
 def q_pack_sequences(spark, sf_dir):
     from .operators.sampling import pack_sequences
-    return pack_sequences(_readp(spark, sf_dir, "documents"),
+    return pack_sequences(_read(spark, sf_dir, "documents"),
                           context_len=2048, block=64)
 
 
@@ -1812,7 +1812,7 @@ def q_embedding_dedup(spark, sf_dir):
     the full LSH candidate pipeline + exact-cosine verify."""
     from .operators.similarity import cosine_dedup_pairs
 
-    base = _readp(spark, sf_dir, "embeddings").filter(
+    base = _read(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 500).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
@@ -2616,7 +2616,7 @@ def q_hll_cardinality(spark, sf_dir):
     bit-for-bit (operators/sketches.py)."""
     from .operators.sketches import hll_cardinality
 
-    keys = _readpk(spark, sf_dir, "lineitem", "l_partkey").select(
+    keys = _read(spark, sf_dir, "lineitem").select(
         F.concat(F.lit("k:"), F.col("l_partkey").cast("string")).alias("k"))
     est = hll_cardinality(keys, "k")
     exact = keys.agg(F.countDistinct("k").cast("long").alias("n_exact"))

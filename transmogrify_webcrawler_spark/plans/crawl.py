@@ -653,7 +653,14 @@ class SparkCrawler:
 
         keep_cond, ignored_cond = ecached(
             ex, ("ignore", cfg.ignore), _keep_cond)
-        kept = scoped.filter(keep_cond).dropDuplicates(["src", "dst"])
+        # hash-partition by dst BEFORE the (src, dst) dedup: dst-partitioning
+        # satisfies the dedup's clustering requirement (subset of the keys),
+        # AND the candidates groupBy("dst") right after it — one exchange
+        # where the old dropDuplicates/groupBy pair planned two (guide §2.4:
+        # two operations keyed compatibly share one exchange)
+        kept = (scoped.filter(keep_cond)
+                .repartition(ecached(ex, "dst_col", lambda: F.col("dst")))
+                .dropDuplicates(["src", "dst"]))
         links_new = kept.select(*src_dst, wave_lit.alias("wave"))
 
         candidates = kept.groupBy("dst").agg(
