@@ -1065,7 +1065,7 @@ def q_warc_roundtrip(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text").cast("binary").alias("payload"),
     )
-    recs = warc_records(synthesize_warc(docs, n_files=8, compress=True))
+    recs = warc_records(synthesize_warc(docs, n_files=32, compress=True))
     return (recs.filter(F.col("warc_type") == "response")
             .select(F.col("target_uri").alias("url"), "http_status",
                     "content_length", "payload_sha256"))
@@ -1092,7 +1092,7 @@ def q_wet_export(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
     )
-    recs = warc_records(synthesize_wet(docs, n_files=8, compress=True))
+    recs = warc_records(synthesize_wet(docs, n_files=32, compress=True))
     return (recs.filter(F.col("warc_type") == "conversion")
             .select(F.col("target_uri").alias("url"),
                     "content_length", "payload_sha256"))
@@ -2149,7 +2149,7 @@ def q_png_pixel_resize(spark, sf_dir):
     the codec changes the sum and fails the hash compare."""
     from .operators.multimodal import resize_media
 
-    d = _read(spark, sf_dir, "documents").select("doc_id")
+    d = _readp(spark, sf_dir, "documents").select("doc_id")
 
     def make(batches):
         from transmogrify_webcrawler_spark.operators.png import encode_png
@@ -2250,7 +2250,7 @@ def q_image_features(spark, sf_dir):
     or feature-math defect fails the hash compare."""
     from .operators.multimodal import image_features
 
-    d = _read(spark, sf_dir, "documents").select("doc_id")
+    d = _readp(spark, sf_dir, "documents").select("doc_id")
 
     def make(batches):
         from transmogrify_webcrawler_spark.operators.png import encode_png

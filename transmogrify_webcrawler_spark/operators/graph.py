@@ -374,15 +374,18 @@ def reciprocal_links(edges: DataFrame, src: str = "src",
     the reversed probe side repartitions once — no pair-space blowup, no
     window."""
     e = _edges_long(edges, src, dst)
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    recip = e.join(rev, ["src", "dst"], "left_semi") \
-             .select("src", F.lit(1).alias("r"))
-    out = e.groupBy("src").agg(F.count("*").alias("n_out"))
-    rc = recip.groupBy("src").agg(F.count("*").alias("n_reciprocal"))
-    return (out.join(rc, "src", "left")
-            .select(F.col("src").alias("node"), "n_out",
-                    F.coalesce("n_reciprocal", F.lit(0)).cast("long")
-                    .alias("n_reciprocal"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("_rev"))
+    # ONE rollup instead of two groupBys + a join-back: flag each edge with
+    # whether its reverse exists (left join on the deduped reversed list —
+    # at most one match per edge, so no widening), then count totals and
+    # flagged edges together (guide §2.4; the old shape shuffled the edge
+    # list twice and joined the two aggregates back on src)
+    flagged = e.join(rev, ["src", "dst"], "left")
+    agg = flagged.groupBy("src").agg(
+        F.count("*").alias("n_out"),
+        F.count("_rev").cast("long").alias("n_reciprocal"))
+    return (agg.select(F.col("src").alias("node"), "n_out", "n_reciprocal")
             .withColumn("reciprocal_pct", F.expr(
                 "(n_reciprocal * 100) DIV n_out").cast("long")))
 
