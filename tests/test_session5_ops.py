@@ -212,8 +212,10 @@ def test_inverted_postings_cuts_and_order(spark):
 
 
 def test_reciprocal_links_plan_no_cartesian(spark):
-    """The reversed-key self-join must plan as an equi-join (semi), never
-    a cartesian/BNL product."""
+    """The reversed-key self-join must plan as an equi-join, never a
+    cartesian/BNL product — and as of r6 the reverse-edge flag rides a
+    LeftOuter equi-join into ONE rollup (count + count(flag) together)
+    instead of a semi-join feeding a second groupBy + join-back."""
     from transmogrify_webcrawler_spark.operators.graph import (
         reciprocal_links)
 
@@ -223,7 +225,12 @@ def test_reciprocal_links_plan_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
+    # exactly ONE join in the whole plan (the reverse-edge flag): the old
+    # shape had a second join stitching the two aggregates back together
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
 
 
 def test_image_features_decodes_real_pixels(spark):

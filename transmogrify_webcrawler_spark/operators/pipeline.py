@@ -26,7 +26,7 @@ def cleaning_decision(docs: DataFrame, rep_threshold: float = 0.5,
                       text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id, is_canonical, passes_gopher, dup_gram_frac,
     lang_pred, keep, reason) for every input document."""
-    from .textops import _gopher_exprs, _lang_id_exprs, _repetition_exprs
+    from .textops import _dup_gram_frac_expr, _gopher_exprs, _lang_id_exprs
 
     # All three per-row signal families (Gopher, repetition, language) are
     # pure Catalyst expressions over the text column, so they fuse into ONE
@@ -37,14 +37,13 @@ def cleaning_decision(docs: DataFrame, rep_threshold: float = 0.5,
     # the two the duplicate check fundamentally needs: the fingerprint
     # aggregation and its join-back.
     gopher = _gopher_exprs(text_col)
-    rep = _repetition_exprs(2, text_col)
     lg = _lang_id_exprs(text_col)
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm.cast("binary")).alias("fingerprint"),
         gopher["passes_gopher"].alias("passes_gopher"),
-        rep["dup_gram_frac"].alias("dup_gram_frac"),
+        _dup_gram_frac_expr(2, text_col).alias("dup_gram_frac"),
         lg["lang_pred"].alias("lang_pred"),
     )
     canon = sig.groupBy("fingerprint").agg(

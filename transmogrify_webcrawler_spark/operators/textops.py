@@ -546,6 +546,40 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _dup_gram_frac_expr(n: int, text_col: str = "text"):
+    """Just the dup_gram_frac column of _repetition_exprs, with a 3-field
+    fold state instead of 5 — cleaning_decision only consumes this one
+    signal, and the interpreted lambda's cost scales with the state width.
+    Values identical to _repetition_exprs()['dup_gram_frac']."""
+    words = words_expr(F.col(text_col))
+    grams = F.filter(
+        F.when(F.size(words) >= n, shingles_expr(words, n))
+         .otherwise(F.array().cast("array<string>")),
+        lambda g: g != F.lit(""))
+    g = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+    dup_flush = lambda acc: (acc["dup"] + F.when(acc["run"] >= 2, acc["run"])
+                             .otherwise(zero)).alias("dup")
+    st = F.aggregate(
+        g,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("dup")),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(acc["prev"].alias("prev"),
+                     (acc["run"] + 1).alias("run"),
+                     acc["dup"].alias("dup")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     dup_flush(acc))),
+        lambda acc: F.struct(dup_flush(acc)),
+    )
+    ng = F.size(g).cast("long")
+    return F.round(
+        F.when(ng > 0, st["dup"].cast("double") / ng)
+        .otherwise(F.lit(0.0)), 4)
+
+
 def _repetition_exprs(n: int, text_col: str = "text") -> dict:
     """Per-ROW repetition profile expressions — the distributed gram
     explode + two aggregations this replaced shuffled ~(words per doc)
@@ -771,17 +805,16 @@ def duplicate_span_stats(docs: DataFrame, k: int = 5, min_count: int = 2,
 
     words = words_expr(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    # k-gram strings via the zip_with chain (shingles_expr — same strings,
+    # no per-index slice+concat_ws lambda; for size >= k the short-doc
+    # branch never fires, so the md5 digests are byte-identical)
     grams = base.select(
         "doc_id",
         F.posexplode(
             F.when(
                 F.size("ws") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - k),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("ws", i + 1, k))
-                        .cast("binary")),
-                ),
+                F.transform(shingles_expr(F.col("ws"), k),
+                            lambda s: F.md5(s.cast("binary"))),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "dg"),
     )
