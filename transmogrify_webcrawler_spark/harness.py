@@ -2673,6 +2673,32 @@ FROM ranked WHERE rank <= 3
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ordered so keys with no prior driver CORRECTNESS row come
+        # first (the driver samples a prefix; VERDICT r5 #2 — 22
+        # keys had never been driver-checked)
+        "sitemap_extract": q_sitemap_extract,
+        "kmeans": q_kmeans,
+        "mixture_sample": q_mixture_sample,
+        "stratified_topn": q_stratified_topn,
+        "pack_sequences": q_pack_sequences,
+        "trap_urls": q_trap_urls,
+        "robots_sitemap": q_robots_sitemap,
+        "recrawl_schedule": q_recrawl_schedule,
+        "dup_span_stats": q_dup_span_stats,
+        "c4_filters": q_c4_filters,
+        "tfidf_topk": q_tfidf_topk,
+        "cdx_index": q_cdx_index,
+        "hll_cardinality": q_hll_cardinality,
+        "robots_rules": q_robots_rules,
+        "dup_clusters": q_dup_clusters,
+        "pagerank": q_pagerank,
+        "hits": q_hits,
+        "pii_redact": q_pii_redact,
+        "hash_split": q_hash_split,
+        "dedup_retention": q_dedup_retention,
+        "minhash_incremental": q_minhash_incremental,
+        "png_pixel_resize": q_png_pixel_resize,
+        # previously driver-sampled keys
         "pricing_summary": q_pricing_summary,
         "anti_join_dedup": q_anti_join_dedup,
         "bloom_seen_dedup": q_bloom_seen_dedup,
@@ -2723,29 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_plan": q_rebalance_plan,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
-        "sitemap_extract": q_sitemap_extract,
-        "kmeans": q_kmeans,
-        "mixture_sample": q_mixture_sample,
-        "stratified_topn": q_stratified_topn,
-        "pack_sequences": q_pack_sequences,
-        "trap_urls": q_trap_urls,
-        "robots_sitemap": q_robots_sitemap,
-        "recrawl_schedule": q_recrawl_schedule,
-        "dup_span_stats": q_dup_span_stats,
-        "c4_filters": q_c4_filters,
-        "tfidf_topk": q_tfidf_topk,
-        "cdx_index": q_cdx_index,
-        "hll_cardinality": q_hll_cardinality,
-        "robots_rules": q_robots_rules,
         "ngram_jaccard": q_ngram_jaccard,
-        "dup_clusters": q_dup_clusters,
-        "pagerank": q_pagerank,
-        "hits": q_hits,
-        "pii_redact": q_pii_redact,
-        "hash_split": q_hash_split,
-        "dedup_retention": q_dedup_retention,
         "minhash_verified": q_minhash_verified,
-        "minhash_incremental": q_minhash_incremental,
         "simhash_verified": q_simhash_verified,
         "knn_cosine": q_knn_cosine,
         "lsh_knn_verified": q_lsh_knn_verified,
@@ -2754,7 +2759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "media_resize": q_media_resize,
-        "png_pixel_resize": q_png_pixel_resize,
         "frame_sample_verified": q_frame_sample_verified,
         "session_windows": q_session_windows,
         # rows-only below

@@ -113,7 +113,13 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                 )).cast("long").alias("rank_fp"),
             )
         )
-    return ranks
+    # all iteration arithmetic is exact BIGINT; the RESULT is emitted as
+    # DOUBLE because the DuckDB oracle's contribution sums are HUGEINT and
+    # land in pandas as float64 — the driver's value hash compares
+    # materialized values (same fix family as repetition_stats; rank_fp
+    # <= 10^12 << 2^53, so the double is exact)
+    return ranks.select("node", F.col("rank_fp").cast("double")
+                        .alias("rank_fp"))
 
 
 def pagerank_sql(edges_sql: str, iterations: int = 3,
@@ -310,11 +316,13 @@ def hits_fixed(edges: DataFrame, iterations: int = 2,
                .select("node", F.expr(
                    f"(coalesce(raw, 0L) * {HITS_SCALE}) DIV mx")
                    .cast("long").alias("s")))
+    # emitted as DOUBLE for the same HUGEINT-oracle reason as
+    # pagerank_fixed (scores <= 10^6, exact in float64)
     return (hub.alias("h")
             .join(auth.alias("a"), F.col("h.node") == F.col("a.node"))
             .select(F.col("h.node").alias("node"),
-                    F.col("h.s").alias("hub_fp"),
-                    F.col("a.s").alias("auth_fp")))
+                    F.col("h.s").cast("double").alias("hub_fp"),
+                    F.col("a.s").cast("double").alias("auth_fp")))
 
 
 def hits_sql(edges_sql: str, iterations: int = 2) -> str:

@@ -139,12 +139,20 @@ def pack_sequences(docs: DataFrame, context_len: int = 2048,
         acc += int(t)
     off = docs.sparkSession.createDataFrame(offsets, "blk long, off long")
     start = F.col("off") + F.col("local_end") - F.col("n_tokens")
+    # start_tok/bin_id/bin_pos are emitted as DOUBLE: the oracle computes
+    # them from a window sum(BIGINT) -> HUGEINT -> pandas float64, and the
+    # driver's value hash compares materialized values (same fix family as
+    # repetition_stats; token offsets << 2^53, doubles exact). The integer
+    # arithmetic itself stays BIGINT.
     return (local.join(F.broadcast(off), "blk")
             .select("doc_id", "n_tokens", start.alias("start_tok"))
             .select(
-                "doc_id", "n_tokens", "start_tok",
-                F.expr(f"start_tok DIV {int(context_len)}").alias("bin_id"),
-                (F.col("start_tok") % context_len).alias("bin_pos"),
+                "doc_id", "n_tokens",
+                F.col("start_tok").cast("double").alias("start_tok"),
+                F.expr(f"start_tok DIV {int(context_len)}").cast("double")
+                .alias("bin_id"),
+                (F.col("start_tok") % context_len).cast("double")
+                .alias("bin_pos"),
             ))
 
 
